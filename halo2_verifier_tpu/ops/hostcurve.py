@@ -75,19 +75,160 @@ def g1_mul(pt, k: int):
     return acc
 
 
-def g1_msm(scalars, points):
-    """Naive host MSM (correctness oracle for the TPU Pippenger kernels).
+# Jacobian coordinates: (X, Y, Z) with x = X/Z^2, y = Y/Z^3; identity Z=0.
 
-    Small-window Pippenger in pure Python mirroring arithmetic.rs:7-95
-    would gain little here; the device path is the fast one.
+J_IDENTITY = (0, 1, 0)
+
+
+def j_from_affine(pt):
+    return J_IDENTITY if pt is None else (pt[0], pt[1], 1)
+
+
+def j_to_affine(p):
+    X, Y, Z = p
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
+
+
+def j_double(p):
+    X, Y, Z = p
+    if Z == 0 or Y == 0:
+        return J_IDENTITY
+    A = X * X % P
+    B = Y * Y % P
+    C = B * B % P
+    D = 2 * ((X + B) * (X + B) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y * Z % P
+    return (X3, Y3, Z3)
+
+
+def j_add(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % P
+    Z2Z2 = Z2 * Z2 % P
+    U1 = X1 * Z2Z2 % P
+    U2 = X2 * Z1Z1 % P
+    S1 = Y1 * Z2 % P * Z2Z2 % P
+    S2 = Y2 * Z1 % P * Z1Z1 % P
+    if U1 == U2:
+        if S1 != S2:
+            return J_IDENTITY
+        return j_double(p)
+    H = (U2 - U1) % P
+    I = 4 * H * H % P
+    J = H * I % P
+    rr = 2 * (S2 - S1) % P
+    V = U1 * I % P
+    X3 = (rr * rr - J - 2 * V) % P
+    Y3 = (rr * (V - X3) - 2 * S1 * J) % P
+    Z3 = ((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) * H % P
+    return (X3, Y3, Z3)
+
+
+def j_add_affine(p, q):
+    """Mixed addition p (Jacobian) + q (affine)."""
+    if q is None:
+        return p
+    X1, Y1, Z1 = p
+    if Z1 == 0:
+        return (q[0], q[1], 1)
+    x2, y2 = q
+    Z1Z1 = Z1 * Z1 % P
+    U2 = x2 * Z1Z1 % P
+    S2 = y2 * Z1 % P * Z1Z1 % P
+    if U2 == X1:
+        if S2 != Y1:
+            return J_IDENTITY
+        return j_double(p)
+    H = (U2 - X1) % P
+    HH = H * H % P
+    I = 4 * HH % P
+    J = H * I % P
+    rr = 2 * (S2 - Y1) % P
+    V = X1 * I % P
+    X3 = (rr * rr - J - 2 * V) % P
+    Y3 = (rr * (V - X3) - 2 * Y1 * J) % P
+    Z3 = ((Z1 + H) * (Z1 + H) - Z1Z1 - HH) % P
+    return (X3, Y3, Z3)
+
+
+def j_mul(p, k: int):
+    k %= R
+    acc = J_IDENTITY
+    add = p
+    while k:
+        if k & 1:
+            acc = j_add(acc, add)
+        add = j_double(add)
+        k >>= 1
+    return acc
+
+
+def batch_normalize(points):
+    """Jacobian -> affine for many points with one shared inversion chain."""
+    from .hostfield import batch_invert
+
+    zs = [p[2] for p in points]
+    zinvs = batch_invert(zs, P)
+    out = []
+    for (X, Y, Z), zi in zip(points, zinvs):
+        if Z == 0:
+            out.append(None)
+        else:
+            zi2 = zi * zi % P
+            out.append((X * zi2 % P, Y * zi2 % P * zi % P))
+    return out
+
+
+def g1_msm(scalars, points, window: int = None):
+    """Host MSM: windowed Pippenger over Jacobian buckets.
+
+    Exact oracle for the TPU Pippenger kernels (ops/msm_jax.py). Window
+    sizing follows the same small-n heuristic shape as the reference
+    (arithmetic.rs:10-16) but tuned for Python's cost model.
     """
     assert len(scalars) == len(points)
-    acc = None
-    for s, p in zip(scalars, points):
-        if s % R == 0 or p is None:
-            continue
-        acc = g1_add(acc, g1_mul(p, s))
-    return acc
+    pairs = [(s % R, pt) for s, pt in zip(scalars, points)
+             if s % R != 0 and pt is not None]
+    if not pairs:
+        return None
+    if len(pairs) == 1:
+        s, pt = pairs[0]
+        return j_to_affine(j_mul(j_from_affine(pt), s))
+    c = window or (4 if len(pairs) < 32 else (8 if len(pairs) < 1024 else 12))
+    num_windows = (254 + c - 1) // c
+    acc = J_IDENTITY
+    mask = (1 << c) - 1
+    for w in range(num_windows - 1, -1, -1):
+        for _ in range(c if acc != J_IDENTITY else 0):
+            acc = j_double(acc)
+        buckets = [None] * ((1 << c) - 1)
+        shift = w * c
+        for s, pt in pairs:
+            digit = (s >> shift) & mask
+            if digit:
+                b = buckets[digit - 1]
+                buckets[digit - 1] = (
+                    (pt[0], pt[1], 1) if b is None else j_add_affine(b, pt)
+                )
+        running = J_IDENTITY
+        for b in reversed(buckets):
+            if b is not None:
+                running = j_add(running, b)
+            acc = j_add(acc, running) if running != J_IDENTITY else acc
+    return j_to_affine(acc)
 
 
 # compressed codec -----------------------------------------------------------

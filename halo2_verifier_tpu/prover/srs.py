@@ -68,69 +68,25 @@ class FullSRS:
 
 
 def _jacobian_scale_chain(base, scalars):
-    """[scalars[i]] * base for many scalars, batching the final inversions."""
-    # Jacobian double-and-add without per-step affine normalization.
-    def jdouble(p):
-        X, Y, Z = p
-        if Y == 0 or Z == 0:
-            return (0, 1, 0)
-        A = X * X % hc.P
-        B = Y * Y % hc.P
-        C = B * B % hc.P
-        D = 2 * ((X + B) ** 2 - A - C) % hc.P
-        E = 3 * A % hc.P
-        F = E * E % hc.P
-        X3 = (F - 2 * D) % hc.P
-        Y3 = (E * (D - X3) - 8 * C) % hc.P
-        Z3 = 2 * Y * Z % hc.P
-        return (X3, Y3, Z3)
-
-    def jadd_affine(p, q):
-        if q is None:
-            return p
-        X1, Y1, Z1 = p
-        if Z1 == 0:
-            return (q[0], q[1], 1)
-        x2, y2 = q
-        Z1Z1 = Z1 * Z1 % hc.P
-        U2 = x2 * Z1Z1 % hc.P
-        S2 = y2 * Z1 * Z1Z1 % hc.P
-        if U2 == X1 and S2 == Y1:
-            return jdouble(p)
-        H = (U2 - X1) % hc.P
-        HH = H * H % hc.P
-        I = 4 * HH % hc.P
-        J = H * I % hc.P
-        rr = 2 * (S2 - Y1) % hc.P
-        V = X1 * I % hc.P
-        X3 = (rr * rr - J - 2 * V) % hc.P
-        Y3 = (rr * (V - X3) - 2 * Y1 * J) % hc.P
-        Z3 = (Z1 + H) ** 2 - Z1Z1 - HH
-        return (X3, Y3, Z3 % hc.P)
-
+    """[scalars[i]] * base for many scalars, with a shared 4-bit window
+    table and one batched final normalization."""
+    table = [None] * 16  # table[d] = d * base, Jacobian
+    table[1] = hc.j_from_affine(base)
+    for d in range(2, 16):
+        table[d] = hc.j_add(table[d - 1], table[1])
     out = []
     for s in scalars:
-        acc = (0, 1, 0)
-        add = base
         k = s % R
-        while k:
-            if k & 1:
-                acc = jadd_affine(acc, add)
-            add = hc.g1_double(add)
-            k >>= 1
+        acc = hc.J_IDENTITY
+        for shift in range(252, -4, -4):
+            if acc != hc.J_IDENTITY:
+                for _ in range(4):
+                    acc = hc.j_double(acc)
+            d = (k >> max(shift, 0)) & 0xF if shift >= 0 else 0
+            if shift >= 0 and d:
+                acc = hc.j_add(acc, table[d])
         out.append(acc)
-    # batch-normalize
-    from ..ops.hostfield import batch_invert
-    zs = [p[2] for p in out]
-    zinvs = batch_invert(zs, hc.P)
-    affine = []
-    for (X, Y, Z), zi in zip(out, zinvs):
-        if Z == 0:
-            affine.append(None)
-        else:
-            zi2 = zi * zi % hc.P
-            affine.append((X * zi2 % hc.P, Y * zi2 % hc.P * zi % hc.P))
-    return affine
+    return hc.batch_normalize(out)
 
 
 def generate_srs(k: int, seed: bytes = b"halo2-verifier-tpu-test-srs") -> FullSRS:
