@@ -79,10 +79,17 @@ def test_g2_codec_roundtrip():
 
 
 def test_invalid_point_rejected():
-    bad = bytearray(hc.g1_to_bytes(G1_GEN))
-    bad[0] ^= 1  # x+1 is (overwhelmingly likely) not on curve for this x
+    # find an x with x^3 + 3 a non-residue, then feed its encoding
+    x = 2
+    while hf.fq_sqrt((x * x * x + 3) % P) is not None:
+        x += 1
     with pytest.raises(ValueError):
-        hc.g1_from_bytes(bytes(bad))
+        hc.g1_from_bytes(hf.to_repr(x))
+    # non-canonical field repr must also be rejected
+    with pytest.raises(ValueError):
+        hc.g1_from_bytes((P + 1).to_bytes(32, "little"))
+    # identity encodes as all-zero and decodes to None
+    assert hc.g1_from_bytes(bytes(32)) is None
 
 
 def test_group_laws():
