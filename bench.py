@@ -69,6 +69,7 @@ def main():
             "warmup_seconds": round(t_warm, 3),
             "fixture_seconds": round(t_fixture, 3),
             "circuit": "vector_mul k=8 shplonk blake2b",
+            "stages": bv.timings.report(),
         },
     }
     print(json.dumps(out))

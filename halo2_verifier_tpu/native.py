@@ -1,0 +1,68 @@
+"""Loader for the native (C++) runtime components.
+
+The compute path is JAX/XLA; host-side sequential work (transcript hashing)
+gets a native core where Python is slow. The library is optional: every
+consumer keeps a pure-Python fallback, so a missing/unbuildable .so only
+costs speed, never correctness.
+
+Build: `make -C native` at the repo root (or `build()` below).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libh2vnative.so")
+
+_lib = None
+_load_attempted = False
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the native library in-tree; returns True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def load():
+    """Returns the ctypes library handle or None. Builds on first use if the
+    source tree and a compiler are present."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "keccak.cpp")
+        if not os.path.exists(src) or not build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.h2v_keccak_f1600.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+    lib.h2v_keccak_f1600.restype = None
+    lib.h2v_keccak_absorb_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.h2v_keccak_absorb_blocks.restype = None
+    lib.h2v_keccak256_finalize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+    ]
+    lib.h2v_keccak256_finalize.restype = None
+    _lib = lib
+    return _lib

@@ -31,35 +31,37 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def _partial_then_reduce(scalars, xs, ys):
-    """shard_map body: per-device partial MSM, then an all-gather +
-    tree-reduce of the tiny projective partials."""
-    part = msm_jax.msm_impl(scalars, xs, ys)  # (3, NLIMBS) pytree
-    gathered = tuple(
-        jax.lax.all_gather(c, "points") for c in part
-    )  # (D, NLIMBS) each
-    acc = tuple(c[0] for c in gathered)
-    ndev = gathered[0].shape[0]
-    for d in range(1, ndev):
-        acc = cj.add(acc, tuple(c[d] for c in gathered))
-    return acc
+def _partial_msm(scalars, xs, ys):
+    """shard_map body: per-device partial MSM over this device's slice;
+    the (3, NLIMBS)-sized projective partial is the only thing that leaves
+    the chip."""
+    part = msm_jax.msm_impl(scalars, xs, ys)
+    return tuple(c[None] for c in part)  # (1, NLIMBS) per device
 
 
 def sharded_msm(mesh: Mesh, scalars, xs, ys):
     """MSM with entries sharded over the mesh's 'points' axis.
 
     Inputs must have leading dim divisible by the mesh size (pad with zero
-    scalars to align — zero-scalar entries contribute nothing).
+    scalars to align — zero-scalar entries contribute nothing). Per-device
+    partials concatenate to (D, NLIMBS) and reduce with D-1 complete adds
+    (bytes of traffic; the collective cost is negligible vs Pippenger).
     """
-    fn = jax.jit(
-        jax.shard_map(
-            _partial_then_reduce,
+    ndev = mesh.devices.size
+
+    def pipeline(scalars, xs, ys):
+        parts = jax.shard_map(
+            _partial_msm,
             mesh=mesh,
             in_specs=(P("points"), P("points"), P("points")),
-            out_specs=(P(), P(), P()),
-        )
-    )
-    return fn(scalars, xs, ys)
+            out_specs=(P("points"), P("points"), P("points")),
+        )(scalars, xs, ys)
+        acc = tuple(c[0] for c in parts)
+        for d in range(1, ndev):
+            acc = cj.add(acc, tuple(c[d] for c in parts))
+        return acc
+
+    return jax.jit(pipeline)(scalars, xs, ys)
 
 
 def pad_entries(scalars, xs, ys, multiple: int):

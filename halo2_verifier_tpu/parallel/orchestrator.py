@@ -28,6 +28,7 @@ from ..ops.limbs import ints_to_limbs, limbs_to_ints
 from ..protocol.kzg import AccumulatorStrategy, DualMSM, VerifyFailure
 from ..protocol.verifier import verify_proof
 from ..transcript import TRANSCRIPT_READERS
+from ..utils.metrics import StageTimings
 import numpy as np
 import secrets
 
@@ -76,6 +77,7 @@ class BatchVerifier:
         self.hash_name = hash_name
         self.mesh = mesh
         self._rng = rng or (lambda: 1 + secrets.randbelow(R - 1))
+        self.timings = StageTimings()
 
     # ------------------------------------------------------------ replay
     def replay(self, proofs_and_instances):
@@ -83,23 +85,32 @@ class BatchVerifier:
         per-proof DualMSMs (unevaluated) or raises on malformed proofs."""
         duals = []
         for proof, instances in proofs_and_instances:
-            transcript = TRANSCRIPT_READERS[self.hash_name](proof)
-            holder = {}
-
-            class _Capture:
-                def process(self, f):
-                    holder["dual"] = f(DualMSM(self.params_ref))
-                    return holder["dual"]
-
-            cap = _Capture()
-            cap.params_ref = self.params
-            verify_proof(self.params, self.vk, cap, instances, transcript,
-                         multiopen=self.multiopen)
-            duals.append(holder["dual"])
+            with self.timings.stage("host_replay"):
+                duals.append(self._replay_one(proof, instances))
         return duals
 
-    def _eval_combined(self, duals, weights):
-        """Device stage: evaluate sum_i w_i * (left_i, right_i)."""
+    def _replay_one(self, proof, instances):
+        transcript = TRANSCRIPT_READERS[self.hash_name](proof)
+        holder = {}
+
+        class _Capture:
+            def process(self, f):
+                holder["dual"] = f(DualMSM(self.params_ref))
+                return holder["dual"]
+
+        cap = _Capture()
+        cap.params_ref = self.params
+        # each batch item carries ONE proof's instances ([column][row])
+        verify_proof(self.params, self.vk, cap, [instances], transcript,
+                     multiopen=self.multiopen)
+        return holder["dual"]
+
+    def _eval_combined(self, duals, weights, pad_to=None):
+        """Device stage: evaluate sum_i w_i * (left_i, right_i).
+
+        pad_to pins the MSM entry count (zero-scalar padding) so every
+        bisection subset reuses the one compiled kernel variant for the
+        batch — recompiles, not FLOPs, dominate localization cost."""
         left = []
         right = []
         for dual, w in zip(duals, weights):
@@ -107,28 +118,33 @@ class BatchVerifier:
                 left.append((s * w % R, b))
             for s, b in zip(dual.right.scalars, dual.right.bases):
                 right.append((s * w % R, b))
-        points = []
-        for entries in (left, right):
-            from ..protocol.kzg import MSMKZG
-
-            m = MSMKZG([s for s, _ in entries], [b for _, b in entries])
-            s_arr, x_arr, y_arr = _entries_to_device(m)
-            if self.mesh is not None:
-                from .mesh import pad_entries, sharded_msm
-
-                ndev = self.mesh.devices.size
-                s_arr, x_arr, y_arr = pad_entries(s_arr, x_arr, y_arr, ndev)
-                proj = sharded_msm(self.mesh, s_arr, x_arr, y_arr)
-            else:
-                proj = msm_jax.msm(s_arr, x_arr, y_arr)
-            points.append(_device_point_to_host(proj))
+        with self.timings.stage("device_msm"):
+            points = [self._msm_one(e, pad_to) for e in (left, right)]
         return points[0], points[1]
 
+    def _msm_one(self, entries, pad_to):
+        if pad_to is not None and len(entries) < pad_to:
+            entries = entries + [(0, None)] * (pad_to - len(entries))
+        from ..protocol.kzg import MSMKZG
+
+        m = MSMKZG([s for s, _ in entries], [b for _, b in entries])
+        s_arr, x_arr, y_arr = _entries_to_device(m)
+        if self.mesh is not None:
+            from .mesh import pad_entries, sharded_msm
+
+            ndev = self.mesh.devices.size
+            s_arr, x_arr, y_arr = pad_entries(s_arr, x_arr, y_arr, ndev)
+            proj = sharded_msm(self.mesh, s_arr, x_arr, y_arr)
+        else:
+            proj = msm_jax.msm(s_arr, x_arr, y_arr)
+        return _device_point_to_host(proj)
+
     def _pairing_ok(self, left, right) -> bool:
-        return hp.pairing_check([
-            (left, self.params.s_g2),
-            (right, hc.g2_neg(self.params.g2)),
-        ])
+        with self.timings.stage("host_pairing"):
+            return hp.pairing_check([
+                (left, self.params.s_g2),
+                (right, hc.g2_neg(self.params.g2)),
+            ])
 
     # ------------------------------------------------------------- verify
     def verify(self, proofs_and_instances, localize=True) -> BatchResult:
@@ -139,26 +155,35 @@ class BatchVerifier:
             # a malformed proof: fall back to per-proof replay to identify
             return self._verify_individually(proofs_and_instances)
         weights = [self._rng() for _ in duals]
-        left, right = self._eval_combined(duals, weights)
+        # one padded size for the whole batch: all bisection subsets are
+        # strictly smaller, so they share this compiled kernel variant
+        max_entries = max(
+            sum(len(duals[i].left.scalars) for i in range(n)),
+            sum(len(duals[i].right.scalars) for i in range(n)),
+        )
+        pad_to = 1 << max(max_entries - 1, 0).bit_length()
+        left, right = self._eval_combined(duals, weights, pad_to)
         if self._pairing_ok(left, right):
             return BatchResult(True, n)
         if not localize:
             return BatchResult(False, n)
-        failed = self._bisect(duals, list(range(n)))
+        failed = self._bisect(duals, list(range(n)), pad_to)
         return BatchResult(False, n, failed)
 
-    def _bisect(self, duals, indices):
+    def _bisect(self, duals, indices, pad_to):
         """Localize failing proofs by bisection over already-replayed MSMs
         (log(n) pairings instead of n)."""
         weights = [self._rng() for _ in indices]
-        left, right = self._eval_combined([duals[i] for i in indices], weights)
+        left, right = self._eval_combined(
+            [duals[i] for i in indices], weights, pad_to
+        )
         if self._pairing_ok(left, right):
             return []
         if len(indices) == 1:
             return indices
         mid = len(indices) // 2
-        return self._bisect(duals, indices[:mid]) + self._bisect(
-            duals, indices[mid:]
+        return self._bisect(duals, indices[:mid], pad_to) + self._bisect(
+            duals, indices[mid:], pad_to
         )
 
     def _verify_individually(self, proofs_and_instances) -> BatchResult:
@@ -166,7 +191,8 @@ class BatchVerifier:
 
         failed = []
         for i, (proof, instances) in enumerate(proofs_and_instances):
-            if not verify_proof_single(self.params, self.vk, proof, instances,
+            if not verify_proof_single(self.params, self.vk, proof,
+                                       [instances],
                                        multiopen=self.multiopen,
                                        hash_name=self.hash_name):
                 failed.append(i)

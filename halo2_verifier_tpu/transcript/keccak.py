@@ -1,11 +1,17 @@
-"""Pure-Python Keccak-256 (original Keccak padding 0x01, NOT SHA3's 0x06).
+"""Keccak-256 (original Keccak padding 0x01, NOT SHA3's 0x06).
 
 The reference uses the `sha3` crate's `Keccak256` (transcript/mod.rs:7,143),
 which is legacy Keccak with rate 136 and padding byte 0x01. hashlib only
-ships SHA3 (0x06 padding), so the permutation is implemented here.
+ships SHA3 (0x06 padding), so the permutation is implemented here — in C++
+(native/keccak.cpp, loaded via ctypes) with this pure-Python fallback when
+the native library is unavailable.
 """
 
 from __future__ import annotations
+
+import ctypes
+
+from ..native import load as _load_native
 
 _ROUND_CONSTANTS = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
@@ -58,8 +64,8 @@ def _keccak_f(state: list[int]) -> None:
         state[0] ^= rc
 
 
-class Keccak256:
-    """Incremental legacy-Keccak-256 with a cloneable state."""
+class _PyKeccak256:
+    """Incremental legacy-Keccak-256 with a cloneable state (pure Python)."""
 
     RATE = 136
 
@@ -67,13 +73,13 @@ class Keccak256:
         self._state = [0] * 25
         self._buf = b""
 
-    def copy(self) -> "Keccak256":
-        k = Keccak256.__new__(Keccak256)
+    def copy(self):
+        k = self.__class__.__new__(self.__class__)
         k._state = list(self._state)
         k._buf = self._buf
         return k
 
-    def update(self, data: bytes) -> "Keccak256":
+    def update(self, data: bytes):
         self._buf += data
         while len(self._buf) >= self.RATE:
             block, self._buf = self._buf[: self.RATE], self._buf[self.RATE:]
@@ -98,3 +104,39 @@ class Keccak256:
         _keccak_f(state)
         out = b"".join(state[i].to_bytes(8, "little") for i in range(4))
         return out[:32]
+
+
+class _NativeKeccak256:
+    """Same sponge driven by the C++ core (native/keccak.cpp)."""
+
+    RATE = 136
+
+    def __init__(self):
+        self._state = (ctypes.c_uint64 * 25)()
+        self._buf = b""
+
+    def copy(self):
+        k = self.__class__.__new__(self.__class__)
+        k._state = (ctypes.c_uint64 * 25).from_buffer_copy(self._state)
+        k._buf = self._buf
+        return k
+
+    def update(self, data: bytes):
+        self._buf += data
+        n_blocks = len(self._buf) // self.RATE
+        if n_blocks:
+            blocks = self._buf[: n_blocks * self.RATE]
+            self._buf = self._buf[n_blocks * self.RATE:]
+            _NATIVE.h2v_keccak_absorb_blocks(self._state, blocks, n_blocks)
+        return self
+
+    def digest(self) -> bytes:
+        out = ctypes.create_string_buffer(32)
+        _NATIVE.h2v_keccak256_finalize(
+            self._state, self._buf, len(self._buf), out
+        )
+        return out.raw
+
+
+_NATIVE = _load_native()
+Keccak256 = _NativeKeccak256 if _NATIVE is not None else _PyKeccak256

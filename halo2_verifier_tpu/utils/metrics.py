@@ -1,0 +1,42 @@
+"""Lightweight stage timing / observability (SURVEY.md §5: the reference has
+no tracing at all; batch verification at target rates needs per-stage
+breakdowns to steer optimization)."""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StageTimings:
+    totals: dict = field(default_factory=lambda: defaultdict(float))
+    counts: dict = field(default_factory=lambda: defaultdict(int))
+
+    @contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "seconds": round(self.totals[name], 4),
+                "calls": self.counts[name],
+            }
+            for name in sorted(self.totals)
+        }
+
+    def __str__(self) -> str:
+        parts = [
+            f"{name}={self.totals[name]:.3f}s/{self.counts[name]}x"
+            for name in sorted(self.totals, key=lambda n: -self.totals[n])
+        ]
+        return " ".join(parts)

@@ -11,18 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# persistent compilation cache makes repeated test runs fast
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_h2v")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
-)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
+# deliberately NOT enabled: the zstandard-backed cache reader segfaults
+# intermittently in this environment (crash inside
+# compilation_cache.get_executable_and_time). Cold compiles are slower but
+# reliable.
 
 import jax  # noqa: E402
 
 # sitecustomize imports jax before this file runs, so env vars set above are
 # too late for jax's config bootstrap — use explicit config updates.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_h2v")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,131 @@
+"""Multi-device (virtual 8-CPU mesh) and batch-orchestrator tests —
+the distributed coverage the reference never needed (SURVEY.md §2.3)."""
+
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_verifier_tpu.ops import field_jax as fj
+from halo2_verifier_tpu.ops import hostcurve as hc
+from halo2_verifier_tpu.ops.constants import G1_GEN, P, R
+from halo2_verifier_tpu.ops.limbs import ints_to_limbs
+
+rng = random.Random(5)
+
+
+def _device_entries(scalars, points):
+    S = jnp.asarray(ints_to_limbs([s % R for s in scalars]))
+    X = jnp.asarray(
+        ints_to_limbs([0 if p is None else p[0] * fj.FQ.mont_r % P
+                       for p in points])
+    )
+    Y = jnp.asarray(
+        ints_to_limbs([0 if p is None else p[1] * fj.FQ.mont_r % P
+                       for p in points])
+    )
+    return S, X, Y
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_msm_matches_single_chip():
+    from halo2_verifier_tpu.ops import curve_jax as cj
+    from halo2_verifier_tpu.ops.limbs import limbs_to_ints
+    from halo2_verifier_tpu.parallel.mesh import (
+        make_mesh, pad_entries, sharded_msm,
+    )
+
+    n = 24
+    scalars = [rng.randrange(R) for _ in range(n)]
+    points = [hc.g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    S, X, Y = _device_entries(scalars, points)
+    mesh = make_mesh(8)
+    S, X, Y = pad_entries(S, X, Y, 8)
+    proj = sharded_msm(mesh, S, X, Y)
+    x, y = cj.to_affine_batch(tuple(c[None] for c in proj))
+    xv = limbs_to_ints(np.asarray(fj.from_mont(x, fj.FQ)))[0]
+    yv = limbs_to_ints(np.asarray(fj.from_mont(y, fj.FQ)))[0]
+    expected = hc.g1_msm(scalars, points)
+    assert (xv, yv) == expected
+
+
+@pytest.fixture(scope="module")
+def vm_batch():
+    from halo2_verifier_tpu.prover.circuits import vector_mul_spec
+    from halo2_verifier_tpu.prover.keygen import keygen
+    from halo2_verifier_tpu.prover.prove import create_proof
+    from halo2_verifier_tpu.prover.srs import load_srs
+    from halo2_verifier_tpu.transcript import Blake2bWrite
+
+    srs = load_srs(8)
+    spec, make_assignment = vector_mul_spec(8, 3)
+    pk = keygen(spec, srs)
+    proofs = []
+    for i in range(3):
+        asg = make_assignment([i + 2] * 3, [i + 5] * 3)
+        proofs.append(
+            (create_proof(pk, [asg], Blake2bWrite(), seed=str(i).encode()),
+             asg.instance)
+        )
+    return srs.verifier_params(), pk.vk, proofs
+
+
+def test_batch_verifier_device_msm(vm_batch):
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+
+    params, vk, proofs = vm_batch
+    bv = BatchVerifier(params, vk)
+    res = bv.verify(proofs, localize=False)
+    assert res.ok and res.num_proofs == 3
+
+
+def test_batch_verifier_localizes_bad_proof(vm_batch):
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+
+    params, vk, proofs = vm_batch
+    bad = list(proofs)
+    # tamper an instance (proof bytes stay parseable)
+    tampered_instance = [[(v + 1) % R for v in bad[1][1][0]]]
+    bad[1] = (bad[1][0], tampered_instance)
+    bv = BatchVerifier(params, vk)
+    res = bv.verify(bad)
+    assert not res.ok
+    assert res.failed_indices == [1]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("H2V_RUN_DRYRUN"),
+    reason="duplicate of the driver's dryrun check; XLA-CPU accumulates "
+    "compiler state over a long pytest process and segfaults on this "
+    "compile late in the suite, so it must run in a fresh process: "
+    "H2V_RUN_DRYRUN=1 pytest tests/test_parallel.py -k dryrun",
+)
+def test_graft_entry_dryrun():
+    """Runs __graft_entry__.entry + dryrun_multichip in a FRESH interpreter
+    (that is how the driver invokes it; see skip reason)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import __graft_entry__ as g;"
+        "fn, args = g.entry();"
+        "out = jax.jit(fn)(*args);"
+        "assert out[0].shape[-1] == 16;"
+        "g.dryrun_multichip(8);"
+        "print('DRYRUN_OK')"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    assert "DRYRUN_OK" in res.stdout, res.stderr[-2000:]
