@@ -41,10 +41,20 @@ def load():
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "keccak.cpp")
-        if not os.path.exists(src) or not build():
-            return None
+    try:
+        srcs = [
+            os.path.join(_NATIVE_DIR, f)
+            for f in os.listdir(_NATIVE_DIR)
+            if f.endswith(".cpp")
+        ]
+    except FileNotFoundError:
+        srcs = []
+    stale = os.path.exists(_LIB_PATH) and srcs and (
+        max(os.path.getmtime(s) for s in srcs) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
+        if not srcs or not build():
+            return None if not os.path.exists(_LIB_PATH) else _lib
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -64,5 +74,40 @@ def load():
         ctypes.c_char_p,
     ]
     lib.h2v_keccak256_finalize.restype = None
+    lib.h2v_modexp_batch.argtypes = [
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.h2v_modexp_batch.restype = ctypes.c_uint64
+    lib.h2v_inv_batch.argtypes = [
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.h2v_inv_batch.restype = None
+    lib.h2v_g1_decompress_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.h2v_g1_decompress_batch.restype = ctypes.c_uint64
+    lib.h2v_g1_msm.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.h2v_g1_msm.restype = None
+    lib.h2v_g1_mul.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+    ]
+    lib.h2v_g1_mul.restype = None
     _lib = lib
     return _lib

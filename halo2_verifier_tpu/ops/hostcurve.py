@@ -15,8 +15,13 @@ vk/params codecs (helpers.rs:33-65).
 
 from __future__ import annotations
 
+import ctypes as _ctypes
+
 from .constants import B_G1, B_G2, P, R
 from . import hostfield as hf
+from ..native import load as _load_native
+
+_NATIVE = _load_native()
 
 
 # ------------------------------------------------------------------ G1 (Fq)
@@ -197,9 +202,22 @@ def g1_msm(scalars, points, window: int = None):
 
     Exact oracle for the TPU Pippenger kernels (ops/msm_jax.py). Window
     sizing follows the same small-n heuristic shape as the reference
-    (arithmetic.rs:10-16) but tuned for Python's cost model.
+    (arithmetic.rs:10-16) but tuned for Python's cost model. Dispatches to
+    the native C++ core (native/g1msm.cpp) when available.
     """
     assert len(scalars) == len(points)
+    if _NATIVE is not None and window is None and len(scalars) > 2:
+        sbuf = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+        pbuf = b"".join(
+            bytes(64) if p is None
+            else p[0].to_bytes(32, "little") + p[1].to_bytes(32, "little")
+            for p in points
+        )
+        out = _ctypes.create_string_buffer(64)
+        _NATIVE.h2v_g1_msm(sbuf, pbuf, out, len(scalars))
+        x = int.from_bytes(out.raw[:32], "little")
+        y = int.from_bytes(out.raw[32:], "little")
+        return None if x == 0 and y == 0 else (x, y)
     pairs = [(s % R, pt) for s, pt in zip(scalars, points)
              if s % R != 0 and pt is not None]
     if not pairs:
@@ -244,8 +262,22 @@ def g1_to_bytes(pt) -> bytes:
 
 
 def g1_from_bytes(b: bytes):
-    """Decompress; raises ValueError on invalid encodings (CurveRead path)."""
+    """Decompress; raises ValueError on invalid encodings (CurveRead path).
+
+    Uses the native C++ core (native/bn254.cpp) when available — the sqrt
+    here dominates host transcript-replay time otherwise."""
     assert len(b) == 32
+    if _NATIVE is not None:
+        out = _ctypes.create_string_buffer(64)
+        flag = _ctypes.create_string_buffer(1)
+        _NATIVE.h2v_g1_decompress_batch(bytes(b), out, flag, 1)
+        f = flag.raw[0]
+        if f == 1:
+            return None
+        if f == 2:
+            raise ValueError("invalid point encoding")
+        return (int.from_bytes(out.raw[:32], "little"),
+                int.from_bytes(out.raw[32:], "little"))
     arr = bytearray(b)
     ysign = (arr[31] >> 7) & 1
     arr[31] &= 0x7F
@@ -258,6 +290,28 @@ def g1_from_bytes(b: bytes):
     if (y & 1) != ysign:
         y = -y % P
     return (x, y)
+
+
+def g1_from_bytes_batch(bs: bytes, n: int):
+    """Decompress n concatenated 32-byte points at once (native fast path);
+    returns a list of affine points/None. Raises on any invalid point."""
+    assert len(bs) == 32 * n
+    if _NATIVE is None:
+        return [g1_from_bytes(bs[32 * i: 32 * (i + 1)]) for i in range(n)]
+    out = _ctypes.create_string_buffer(64 * n)
+    flags = _ctypes.create_string_buffer(n)
+    bad = _NATIVE.h2v_g1_decompress_batch(bytes(bs), out, flags, n)
+    if bad:
+        raise ValueError("invalid point encoding in batch")
+    pts = []
+    for i in range(n):
+        if flags.raw[i] == 1:
+            pts.append(None)
+        else:
+            o = out.raw[64 * i: 64 * i + 64]
+            pts.append((int.from_bytes(o[:32], "little"),
+                        int.from_bytes(o[32:], "little")))
+    return pts
 
 
 # raw (Montgomery, uncompressed) codec ---------------------------------------
