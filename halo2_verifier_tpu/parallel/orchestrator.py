@@ -82,14 +82,19 @@ class BatchVerifier:
     # ------------------------------------------------------------ replay
     def replay(self, proofs_and_instances):
         """Host stage: replay every proof's transcript; returns the list of
-        per-proof DualMSMs (unevaluated) or raises on malformed proofs."""
+        per-proof DualMSMs (unevaluated) or raises on malformed proofs.
+
+        Items are (proof, instances) pairs, or (proof, instances, vk)
+        triples for heterogeneous-circuit batches (BASELINE config 4: the
+        accumulated DualMSMs are vk-independent, so proofs of different
+        circuits still share the device MSMs and the single pairing)."""
         duals = []
-        for proof, instances in proofs_and_instances:
+        for item in proofs_and_instances:
             with self.timings.stage("host_replay"):
-                duals.append(self._replay_one(proof, instances))
+                duals.append(self._replay_one(*item))
         return duals
 
-    def _replay_one(self, proof, instances):
+    def _replay_one(self, proof, instances, vk=None):
         transcript = TRANSCRIPT_READERS[self.hash_name](proof)
         holder = {}
 
@@ -101,7 +106,7 @@ class BatchVerifier:
         cap = _Capture()
         cap.params_ref = self.params
         # each batch item carries ONE proof's instances ([column][row])
-        verify_proof(self.params, self.vk, cap, [instances], transcript,
+        verify_proof(self.params, vk or self.vk, cap, [instances], transcript,
                      multiopen=self.multiopen)
         return holder["dual"]
 
@@ -119,10 +124,15 @@ class BatchVerifier:
             for s, b in zip(dual.right.scalars, dual.right.bases):
                 right.append((s * w % R, b))
         with self.timings.stage("device_msm"):
-            points = [self._msm_one(e, pad_to) for e in (left, right)]
+            # dispatch both MSMs before any sync: jax executes them
+            # asynchronously, so the second overlaps the first
+            projs = [self._msm_dispatch(e, pad_to) for e in (left, right)]
+            points = [_device_point_to_host(p) for p in projs]
         return points[0], points[1]
 
-    def _msm_one(self, entries, pad_to):
+    def _msm_dispatch(self, entries, pad_to):
+        """Enqueue one accumulator MSM on the device; returns the (async)
+        projective result. No host sync happens here."""
         if pad_to is not None and len(entries) < pad_to:
             entries = entries + [(0, None)] * (pad_to - len(entries))
         from ..protocol.kzg import MSMKZG
@@ -134,10 +144,8 @@ class BatchVerifier:
 
             ndev = self.mesh.devices.size
             s_arr, x_arr, y_arr = pad_entries(s_arr, x_arr, y_arr, ndev)
-            proj = sharded_msm(self.mesh, s_arr, x_arr, y_arr)
-        else:
-            proj = msm_jax.msm(s_arr, x_arr, y_arr)
-        return _device_point_to_host(proj)
+            return sharded_msm(self.mesh, s_arr, x_arr, y_arr)
+        return msm_jax.msm(s_arr, x_arr, y_arr)
 
     def _pairing_ok(self, left, right) -> bool:
         with self.timings.stage("host_pairing"):
@@ -170,6 +178,62 @@ class BatchVerifier:
         failed = self._bisect(duals, list(range(n)), pad_to)
         return BatchResult(False, n, failed)
 
+    def verify_stream(self, batches, pad_to=None, localize=True):
+        """Pipelined verification of a stream of proof batches (the PP axis,
+        SURVEY.md §2.3): while the device runs batch k's MSMs, the host
+        replays batch k+1's transcripts. One-batch lookahead; yields a
+        BatchResult per input batch, in order.
+
+        pad_to pins the MSM size across batches so one kernel variant is
+        compiled; defaults to the first batch's padded size (later batches
+        must not exceed it — keep batch sizes uniform).
+        """
+        pending = None  # (batch, duals, pad, left_proj, right_proj)
+        for batch in batches:
+            try:
+                duals = self.replay(batch)
+            except Exception:
+                if pending is not None:
+                    yield self._finish_pipelined(*pending, localize)
+                    pending = None
+                yield self._verify_individually(batch)
+                continue
+            n = len(batch)
+            max_entries = max(
+                sum(len(duals[i].left.scalars) for i in range(n)),
+                sum(len(duals[i].right.scalars) for i in range(n)),
+            )
+            pad = pad_to or (1 << max(max_entries - 1, 0).bit_length())
+            weights = [self._rng() for _ in duals]
+            left = []
+            right = []
+            for dual, w in zip(duals, weights):
+                for s, b in zip(dual.left.scalars, dual.left.bases):
+                    left.append((s * w % R, b))
+                for s, b in zip(dual.right.scalars, dual.right.bases):
+                    right.append((s * w % R, b))
+            with self.timings.stage("device_msm_dispatch"):
+                lp = self._msm_dispatch(left, pad)
+                rp = self._msm_dispatch(right, pad)
+            if pending is not None:
+                yield self._finish_pipelined(*pending, localize)
+            pending = (batch, duals, pad, lp, rp)
+        if pending is not None:
+            yield self._finish_pipelined(*pending, localize)
+
+    def _finish_pipelined(self, batch, duals, pad, lp, rp, localize):
+        with self.timings.stage("device_msm_collect"):
+            left = _device_point_to_host(lp)
+            right = _device_point_to_host(rp)
+        n = len(batch)
+        if self._pairing_ok(left, right):
+            return BatchResult(True, n)
+        if not localize:
+            return BatchResult(False, n)
+        return BatchResult(
+            False, n, self._bisect(duals, list(range(n)), pad)
+        )
+
     def _bisect(self, duals, indices, pad_to):
         """Localize failing proofs by bisection over already-replayed MSMs
         (log(n) pairings instead of n)."""
@@ -190,8 +254,10 @@ class BatchVerifier:
         from ..protocol.verifier import verify_proof_single
 
         failed = []
-        for i, (proof, instances) in enumerate(proofs_and_instances):
-            if not verify_proof_single(self.params, self.vk, proof,
+        for i, item in enumerate(proofs_and_instances):
+            proof, instances = item[0], item[1]
+            vk = item[2] if len(item) > 2 else self.vk
+            if not verify_proof_single(self.params, vk, proof,
                                        [instances],
                                        multiopen=self.multiopen,
                                        hash_name=self.hash_name):
