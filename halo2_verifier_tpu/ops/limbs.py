@@ -32,15 +32,21 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(values, n: int = NLIMBS) -> np.ndarray:
-    """Batch conversion: list of ints -> (len, n) uint32."""
-    out = np.zeros((len(values), n), dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(n):
-            out[j, i] = (v >> (LIMB_BITS * i)) & MASK
-    return out
+    """Batch conversion: list of ints -> (len, n) uint32. One C-level
+    to_bytes per value + a single frombuffer — no Python limb loop."""
+    nbytes = (LIMB_BITS // 8) * n
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), n)
+    return u16.astype(np.uint32)
 
 
 def limbs_to_ints(arr) -> list[int]:
     arr = np.asarray(arr)
     assert arr.ndim == 2
-    return [limbs_to_int(row) for row in arr]
+    n = arr.shape[1]
+    nbytes = (LIMB_BITS // 8) * n
+    packed = np.ascontiguousarray(arr.astype("<u2")).tobytes()
+    return [
+        int.from_bytes(packed[i * nbytes:(i + 1) * nbytes], "little")
+        for i in range(arr.shape[0])
+    ]

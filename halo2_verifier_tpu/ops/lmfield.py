@@ -1,0 +1,309 @@
+"""Limbs-major Montgomery field arithmetic + Pallas TPU kernels.
+
+Shape convention: a batch of field elements is a (NLIMBS=16, B) uint32 array
+of 16-bit limbs with the LIMB axis LEADING ("limbs-major"). Why: the TPU VPU
+tiles (8 sublanes x 128 lanes); with the batch on the lane axis, whole-element
+operations (limb products against a broadcast row, carry passes, conditional
+subtracts) are full-tile (16, B) vector ops at 100% lane utilization, and the
+whole Montgomery multiply is ~100 *large* ops instead of ~650 row-sized ones.
+
+Two execution modes share one implementation:
+- the `*_body` functions are pure jnp and run under plain XLA anywhere (CPU
+  tests, tiny batches);
+- on TPU, `mont_mul` dispatches to a Pallas kernel wrapping the same body, so
+  the entire dataflow (3 convolutions, carry propagation, conditional
+  subtract) stays in VMEM and each operand touches HBM exactly once.
+  Measured on the XLA elementwise path a stacked 786k-element multiply cost
+  ~30 ms (memory-bound on ~650 materialized intermediates); the kernel's
+  traffic bound is ~0.2 ms.
+
+The reference inherits all field arithmetic from halo2curves
+(arithmetic.rs:1-3); this layer is the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field_jax import FQ, FR, FieldSpec
+from .limbs import LIMB_BITS, MASK, NLIMBS
+
+U32 = jnp.uint32
+_MASK = jnp.uint32(MASK)
+
+# Pallas lane-block: each kernel instance handles (NLIMBS, BLOCK_B) limbs.
+BLOCK_B = 1024
+
+
+def _spec_cols(spec: FieldSpec):
+    """Per-spec (NLIMBS, 1) constant columns for broadcasting over lanes."""
+    n = np.asarray(spec.n_limbs).reshape(NLIMBS, 1)
+    comp = (MASK - n).astype(np.uint32)
+    return (
+        jnp.asarray(n, dtype=U32),
+        jnp.asarray(comp, dtype=U32),
+        jnp.asarray(np.asarray(spec.r_limbs).reshape(NLIMBS, 1), dtype=U32),
+    )
+
+
+_SPEC_COLS = {id(FQ): _spec_cols(FQ), id(FR): _spec_cols(FR)}
+
+
+def _spec_ints(spec: FieldSpec):
+    """Per-spec Python-int limb constants. Bodies use ONLY these (plus
+    scalar literals) so they trace inside Pallas kernels without captured
+    array constants (pallas_call rejects closed-over arrays)."""
+    nl = [int(v) for v in np.asarray(spec.n_limbs)]
+    comp = [MASK - v for v in nl]
+    nv = [int(v) for v in np.asarray(spec.ninv_limbs)]
+    return nl, comp, nv
+
+
+_SPEC_INTS = {id(FQ): _spec_ints(FQ), id(FR): _spec_ints(FR)}
+
+
+def _shift_rows_down(x):
+    """Carry shift: row k -> row k+1; row 0 zero-filled, top row dropped."""
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def carry_prop(x):
+    """Exact carry propagation of uint32 columns to 16-bit limbs.
+
+    Each pass folds every column's high half into the next row; magnitudes
+    strictly decrease, so the loop converges (3-4 passes typical, bounded by
+    the row count). Carries out of the top row are dropped — callers size the
+    row count so the true carry is zero, or keep an explicit overflow row.
+    """
+
+    def cond(x):
+        return jnp.any(x >> LIMB_BITS)
+
+    def body(x):
+        return (x & MASK) + _shift_rows_down(x >> LIMB_BITS)
+
+    return jax.lax.while_loop(cond, body, x)
+
+
+def _with_overflow_row(x):
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def _embed_rows(rows, offset: int, total: int):
+    """Place `rows` at row `offset` of a `total`-row zero array. Pure
+    concatenation — Pallas TPU has no scatter, so column accumulations are
+    expressed as full-width adds of embedded slabs."""
+    parts = []
+    if offset:
+        parts.append(jnp.zeros((offset,) + rows.shape[1:], dtype=rows.dtype))
+    parts.append(rows)
+    below = total - offset - rows.shape[0]
+    if below:
+        parts.append(jnp.zeros((below,) + rows.shape[1:], dtype=rows.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _bump_row0(x, inc):
+    """x with `inc` added to row 0 (concat form; no scatter)."""
+    return jnp.concatenate([(x[:1] + inc), x[1:]], axis=0)
+
+
+def cond_sub_n(x, spec: FieldSpec):
+    """x - N if x >= N else x, for carried x < 2N (branchless).
+
+    Adds the 16-bit complement of N plus one (i.e. subtracts N mod 2^256)
+    with an explicit overflow row; the overflow bit IS the x >= N predicate.
+    """
+    _, comp, _ = _SPEC_INTS[id(spec)]
+    t = jnp.stack(
+        [x[k] + jnp.uint32(comp[k] + (k == 0)) for k in range(NLIMBS)]
+    )
+    t = carry_prop(_with_overflow_row(t))
+    ge = t[NLIMBS] > 0
+    return jnp.where(ge[None], t[:NLIMBS], x)
+
+
+def add_body(a, b, spec: FieldSpec):
+    return cond_sub_n(carry_prop(a + b), spec)
+
+
+def sub_body(a, b, spec: FieldSpec):
+    nl, _, _ = _SPEC_INTS[id(spec)]
+    # a - b + 2^256 via complement add; overflow row = "no borrow"
+    t = _bump_row0(a + (MASK - b), 1)
+    t = carry_prop(_with_overflow_row(t))
+    no_borrow = t[NLIMBS] > 0
+    zero = jnp.uint32(0)
+    r = jnp.stack([
+        t[k] + jnp.where(no_borrow, zero, jnp.uint32(nl[k]))
+        for k in range(NLIMBS)
+    ])
+    return carry_prop(r)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(cond, a, b):
+    """cond ? a : b with cond shaped like the lane/batch axes."""
+    return jnp.where(cond[None, ...], a, b)
+
+
+def mont_one(spec: FieldSpec, b: int):
+    _, _, r = _SPEC_COLS[id(spec)]
+    return jnp.broadcast_to(r, (NLIMBS, b)).astype(U32)
+
+
+def neg_body(a, spec: FieldSpec):
+    return sub_body(jnp.zeros_like(a), a, spec)
+
+
+def mont_mul_body(a, b, spec: FieldSpec):
+    """Montgomery product a*b*2^-256 mod N on (NLIMBS, B) carried limbs.
+
+    Mirrors ops/field_jax.mont_mul (three convolutions) but with whole-
+    element column updates: each of the 16 partial-product steps is one
+    (16, B) multiply against a broadcast limb row plus two shifted column
+    adds — every op full-width. Column bound 32*2^16 < 2^21, exact in u32.
+    """
+    nl, _, nv = _SPEC_INTS[id(spec)]
+    K = 2 * NLIMBS
+
+    # T = a*b: 32 columns (i+j <= 30 for lo terms, <= 31 for hi terms)
+    cols = jnp.zeros((K,) + a.shape[1:], dtype=U32)
+    for j in range(NLIMBS):
+        prod = a * b[j][None]
+        cols = cols + _embed_rows(prod & MASK, j, K)
+        cols = cols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
+    t = carry_prop(cols)
+
+    # m = (T mod 2^256) * N' mod 2^256 — low 16 columns only
+    tl = t[:NLIMBS]
+    mcols = jnp.zeros_like(tl)
+    for j in range(NLIMBS):
+        if nv[j] == 0:
+            continue
+        prod = tl[: NLIMBS - j] * jnp.uint32(nv[j])
+        mcols = mcols + _embed_rows(prod & MASK, j, NLIMBS)
+        if j + 1 < NLIMBS:
+            mcols = mcols + _embed_rows(
+                (prod >> LIMB_BITS)[: NLIMBS - j - 1], j + 1, NLIMBS
+            )
+    m = carry_prop(mcols)  # top carries dropped = mod 2^256
+
+    # T + m*N, low half divisible by 2^256: extract its carry, fold into hi
+    mncols = jnp.zeros((K,) + a.shape[1:], dtype=U32)
+    for j in range(NLIMBS):
+        if nl[j] == 0:
+            continue
+        prod = m * jnp.uint32(nl[j])
+        mncols = mncols + _embed_rows(prod & MASK, j, K)
+        mncols = mncols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
+    total = mncols + t  # t is carried (<2^16): no u32 overflow
+    low = carry_prop(_with_overflow_row(total[:NLIMBS]))
+    hi = _bump_row0(total[NLIMBS:], low[NLIMBS][None])
+    hi = carry_prop(hi)
+    return cond_sub_n(hi, spec)
+
+
+# --------------------------------------------------------------- dispatch
+
+def _backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+# Pallas kernels run on real TPU backends (incl. the tunneled 'axon'
+# platform); anything else uses the XLA body directly.
+_PALLAS_BACKENDS = ("tpu", "axon")
+
+
+def use_pallas() -> bool:
+    import os
+
+    if os.environ.get("H2V_DISABLE_PALLAS"):
+        return False
+    return _backend() in _PALLAS_BACKENDS
+
+
+def _pad_lanes(x, mult):
+    b = x.shape[-1]
+    rem = (-b) % mult
+    if rem == 0:
+        return x, b
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, rem)]
+    return jnp.pad(x, pad), b
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, *, spec):
+    o_ref[:, :] = mont_mul_body(a_ref[:, :], b_ref[:, :], spec)
+
+
+@partial(jax.jit, static_argnames=("spec_id",))
+def _mont_mul_pallas(a, b, spec_id):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = FQ if spec_id == id(FQ) else FR
+    grid = (a.shape[1] // BLOCK_B,)
+    bs = pl.BlockSpec((NLIMBS, BLOCK_B), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_mm_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        grid=grid,
+        in_specs=[bs, bs],
+        out_specs=bs,
+    )(a, b)
+
+
+def mont_mul(a, b, spec: FieldSpec):
+    """Dispatching Montgomery multiply: Pallas kernel on TPU for large
+    lane-aligned batches, plain XLA body otherwise. a, b: (NLIMBS, B)."""
+    if (
+        use_pallas()
+        and a.ndim == 2
+        and a.shape == b.shape
+        and a.shape[1] % BLOCK_B == 0
+    ):
+        return _mont_mul_pallas(a, b, id(spec))
+    return mont_mul_body(a, b, spec)
+
+
+def add(a, b, spec: FieldSpec):
+    return add_body(a, b, spec)
+
+
+def sub(a, b, spec: FieldSpec):
+    return sub_body(a, b, spec)
+
+
+def neg(a, spec: FieldSpec):
+    return neg_body(a, spec)
+
+
+def inv_mont(a, spec: FieldSpec):
+    """Fermat inversion in Montgomery form (lax.scan over exponent bits);
+    inv(0) = 0. Used only on tiny batches (affine conversion of results)."""
+
+    def body(carry, bit):
+        result, base = carry
+        mul = mont_mul_body(result, base, spec)
+        result = jnp.where((bit == 1), mul, result)
+        base = mont_mul_body(base, base, spec)
+        return (result, base), None
+
+    init = (mont_one(spec, a.shape[1]), a)
+    (result, _), _ = jax.lax.scan(body, init, spec.inv_exp_bits)
+    return select(is_zero(a), a, result)

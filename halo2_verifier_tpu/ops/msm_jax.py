@@ -1,31 +1,33 @@
 """Batched Pippenger multi-scalar multiplication on TPU.
 
-TPU-native design (replacing the reference's serial bucket loop,
-arithmetic.rs:7-95, with an execution shape the hardware likes):
+TPU-native restructuring of the reference's serial bucket loop
+(arithmetic.rs:7-95):
 
-1. All windows are processed at once: every (point, window) pair becomes one
-   entry keyed by window*2^c + digit. One sort + one segmented
-   associative-scan computes every bucket sum of every window — log-depth,
-   fully vectorized point additions via the complete formulas.
-2. Bucket reduction ("summation by parts", cf. arithmetic.rs:86-94) is a
-   suffix scan over the bucket axis, vectorized across windows, followed by
-   a log-depth tree reduction.
-3. Window combination is a short Horner loop (c doublings + 1 add per
-   window) under lax.fori_loop.
+1. All windows at once: every (point, window) pair becomes an entry keyed by
+   window*2^c + digit; one sort + one log-depth segmented scan (complete
+   point-add as the combine) yields every bucket sum of every window
+   simultaneously. Point ops are limbs-major Pallas kernels (ops/lmcurve.py)
+   — the whole RCB15 dataflow per add stays in VMEM.
+2. Bucket reduction ("summation by parts", arithmetic.rs:86-94) is two
+   suffix scans over the bucket axis, vectorized across windows.
+3. Window combination — 248 sequential doublings on a single point — is
+   latency-, not throughput-shaped, so it leaves the device: the 32
+   projective window totals (6 KB) are fetched and combined with exact host
+   arithmetic. This also removes the device-side Fermat inversion for the
+   final affine conversion.
 
-Everything is branchless; identities flow through the complete formulas.
-Sharding: points are split across devices, each computes a partial MSM over
-its slice, and the projective partials are combined with a log-depth
-all-reduce (see parallel/).
+Sharding (SURVEY.md §2.3): entries split across a 1-D mesh; each chip
+produces its window totals and only those 6 KB cross chips (parallel/mesh.py).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from . import curve_jax as cj
-from . import field_jax as fj
+from . import lmcurve as lc
+from . import lmfield as lf
 from .field_jax import FQ
 from .limbs import LIMB_BITS, NLIMBS
 
@@ -46,53 +48,57 @@ def _digits(scalars):
     return jnp.stack(parts, axis=1)
 
 
-def _segmented_inclusive_scan(pts, keys):
-    """Hillis-Steele inclusive segmented scan with point addition: after the
-    scan, each position holds the sum of its segment's prefix.
+def _segmented_inclusive_scan(pts, keys, levels):
+    """Hillis-Steele inclusive segmented scan (point add as combine) along
+    axis 1 of limbs-major coords. Dynamic roll offset keeps ONE add graph
+    compiled for all levels.
 
-    The log2(m) levels run under lax.fori_loop with a *dynamic* roll offset,
-    so the complete-add graph is compiled ONCE for the whole scan — graph
-    size is what dominates XLA compile time for these kernels."""
+    `levels` only needs to cover the longest segment whose sum is USED
+    (non-zero-digit buckets) — the wrapper computes it from the actual keys
+    on the host, which typically cuts 17 levels to ~6 for random scalars.
+    Zero-digit segments (discarded later) may be left partially summed."""
     m = keys.shape[0]
     idx = jnp.arange(m)
-    levels = max((m - 1).bit_length(), 1)
 
     def body(k, pts):
         offset = jnp.uint32(1) << k
-        shifted = tuple(jnp.roll(c, offset, axis=0) for c in pts)
+        shifted = tuple(jnp.roll(c, offset, axis=1) for c in pts)
         same = (idx >= offset) & (keys == jnp.roll(keys, offset))
-        return cj.select_point(same, cj.add(pts, shifted), pts)
+        return lc.select_point(same, lc.add(pts, shifted), pts)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
 
-def _suffix_scan_axis1(pts):
-    """Inclusive suffix sums along axis 1 (plain, unsegmented); same
-    one-graph fori_loop structure as the segmented scan."""
-    m = pts[0].shape[1]
+def _suffix_scan_buckets(pts):
+    """Inclusive suffix sums along the bucket axis (axis 2) of
+    (NLIMBS, W, B) coords."""
+    m = pts[0].shape[2]
     idx = jnp.arange(m)
     levels = max((m - 1).bit_length(), 1)
 
     def body(k, pts):
         offset = jnp.uint32(1) << k
-        shifted = tuple(jnp.roll(c, -offset, axis=1) for c in pts)
-        valid = jnp.broadcast_to(idx + offset < m, pts[0].shape[:2])
-        return cj.select_point(valid, cj.add(pts, shifted), pts)
+        shifted = tuple(jnp.roll(c, -offset, axis=2) for c in pts)
+        valid = jnp.broadcast_to(idx + offset < m, pts[0].shape[1:])
+        return lc.select_point(valid, lc.add(pts, shifted), pts)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
 
-def msm_impl(scalars, points_x, points_y):
-    """Pippenger MSM core.
+def window_totals_impl(scalars, points_x, points_y, levels=None):
+    """Pippenger bucket accumulation + reduction; returns projective window
+    totals as 3 limbs-major (NLIMBS, NUM_WINDOWS) arrays.
 
     scalars: (n, NLIMBS) uint32 canonical (NOT Montgomery) limbs.
-    points_x/points_y: (n, NLIMBS) uint32 affine Montgomery coordinates,
-    (0,0) = identity. Returns a projective point (3 limb vectors).
+    points_x/points_y: (n, NLIMBS) affine Montgomery coords, (0,0)=identity.
+    levels: scan depth (see _segmented_inclusive_scan); defaults to the
+    worst case log2(n * NUM_WINDOWS).
     """
     n = scalars.shape[0]
+    if levels is None:
+        levels = max((n * NUM_WINDOWS - 1).bit_length(), 1)
     digits = _digits(scalars)  # (n, W)
 
-    # flatten (point, window) pairs, keyed by window*B + digit
     keys = (
         digits
         + (jnp.arange(NUM_WINDOWS, dtype=jnp.uint32) * NUM_BUCKETS)[None, :]
@@ -104,12 +110,14 @@ def msm_impl(scalars, points_x, points_y):
     order = jnp.argsort(keys)
     keys_sorted = keys[order]
     idx_sorted = point_idx[order]
-    pts = cj.from_affine(points_x[idx_sorted], points_y[idx_sorted])
+    pts = lc.from_affine(
+        points_x[idx_sorted].T, points_y[idx_sorted].T
+    )
     # zero digits contribute nothing: neutralize them
     zero_digit = (keys_sorted & (NUM_BUCKETS - 1)) == 0
-    pts = cj.select_point(zero_digit, cj.identity((keys_sorted.shape[0],)), pts)
+    pts = lc.select_point(zero_digit, lc.identity(keys_sorted.shape[0]), pts)
 
-    summed = _segmented_inclusive_scan(pts, keys_sorted)
+    summed = _segmented_inclusive_scan(pts, keys_sorted, levels)
 
     # segment ends hold bucket totals; scatter them (unique indices)
     is_end = jnp.concatenate(
@@ -118,64 +126,120 @@ def msm_impl(scalars, points_x, points_y):
     scatter_idx = jnp.where(is_end, keys_sorted, NUM_WINDOWS * NUM_BUCKETS)
     nslots = NUM_WINDOWS * NUM_BUCKETS + 1
     buckets = tuple(
-        jnp.zeros((nslots,) + c.shape[1:], dtype=c.dtype)
-        .at[scatter_idx].set(c)
+        jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+        .at[:, scatter_idx].set(c)
         for c in summed
     )
     buckets = tuple(
-        c[:-1].reshape((NUM_WINDOWS, NUM_BUCKETS) + c.shape[1:])
-        for c in buckets
+        c[:, :-1].reshape(NLIMBS, NUM_WINDOWS, NUM_BUCKETS) for c in buckets
     )
     # unwritten buckets are all-zero, which is not the (0:1:0) identity
-    # encoding; patch Y
-    empty = fj.is_zero(buckets[1]) & fj.is_zero(buckets[2])
+    # encoding; patch Y to Montgomery one
+    empty = lf.is_zero(buckets[1]) & lf.is_zero(buckets[2])
+    one = jnp.broadcast_to(
+        lf.mont_one(FQ, 1)[:, :, None], buckets[1].shape
+    )
     buckets = (
         buckets[0],
-        fj.select(empty, fj.mont_one(FQ, empty.shape), buckets[1]),
+        jnp.where(empty[None], one, buckets[1]),
         buckets[2],
     )
 
     # summation by parts: suffix-scan buckets 1..B-1 gives running sums;
-    # their total (window value sum_k k*B_k) is the 0th element of a second
-    # suffix scan — reusing the same one-graph scan instead of a tree
-    tail = tuple(c[:, 1:] for c in buckets)
-    suffix = _suffix_scan_axis1(tail)
-    totals = _suffix_scan_axis1(suffix)
-    window_totals = tuple(c[:, 0] for c in totals)  # (W, ...)
+    # their total (window value sum_k k*B_k) is element 0 of a second scan
+    tail = tuple(c[:, :, 1:] for c in buckets)
+    suffix = _suffix_scan_buckets(tail)
+    totals = _suffix_scan_buckets(suffix)
+    return tuple(c[:, :, 0] for c in totals)  # (NLIMBS, W) each
 
-    # Horner combine from the top window down, one doubling per iteration
-    # with a masked add every WINDOW_BITS steps (single double+add graph)
-    acc = tuple(jnp.take(c, NUM_WINDOWS - 1, axis=0) for c in window_totals)
 
-    def body(i, acc):
-        acc = cj.double(acc)
-        w = NUM_WINDOWS - 2 - (i // WINDOW_BITS)
-        tw = tuple(jnp.take(c, w, axis=0) for c in window_totals)
-        do_add = ((i + 1) % WINDOW_BITS) == 0
-        added = cj.add(acc, tw)
-        return cj.select_point(
-            jnp.broadcast_to(do_add, acc[0].shape[:-1]), added, acc
+_wt_jit = jax.jit(window_totals_impl, static_argnames=("levels",))
+
+
+def _scan_levels(scalars_np) -> int:
+    """Data-driven scan depth: ceil(log2(longest non-zero-digit bucket
+    run)), bucketed to even values so random workloads reuse one compiled
+    variant. Exact for ANY input — adversarial digit distributions simply
+    get a deeper (up to worst-case) scan."""
+    per_limb = LIMB_BITS // WINDOW_BITS
+    counts = np.zeros(NUM_WINDOWS * NUM_BUCKETS, dtype=np.int64)
+    for w in range(NUM_WINDOWS):
+        limb = w // per_limb
+        shift = WINDOW_BITS * (w % per_limb)
+        d = ((scalars_np[:, limb] >> shift) & (NUM_BUCKETS - 1)).astype(
+            np.int64
         )
+        counts[w * NUM_BUCKETS:(w + 1) * NUM_BUCKETS] = np.bincount(
+            d, minlength=NUM_BUCKETS
+        )
+        counts[w * NUM_BUCKETS] = 0  # zero-digit buckets are discarded
+    longest = max(int(counts.max()), 1)
+    levels = max(longest.bit_length() - (longest & (longest - 1) == 0), 1)
+    return min(levels + (levels & 1), 32)  # round up to even
 
-    return jax.lax.fori_loop(0, (NUM_WINDOWS - 1) * WINDOW_BITS, body, acc)
+
+# per-pad-size high-water mark for the scan depth: running a deeper scan
+# than needed is correct (extra masked levels), so reusing the deepest
+# already-compiled variant avoids a ~20 s recompile when the data-driven
+# depth wobbles (it depends on the batch's random isolation weights)
+_LEVEL_HWM: dict[int, int] = {}
 
 
-_msm_jit = jax.jit(msm_impl)
-
-
-def msm(scalars, points_x, points_y):
-    """jitted MSM with shape bucketing: entry counts are padded to the next
-    power of two with zero scalars (which contribute nothing), so at most
-    log2(n_max) kernel variants ever compile."""
+def msm_window_totals(scalars, points_x, points_y):
+    """jitted window-totals MSM with shape bucketing: entry counts pad to
+    the next power of two with zero scalars (which contribute nothing), so
+    at most log2(n_max) kernel variants ever compile. Returns device arrays
+    WITHOUT synchronizing — dispatch several MSMs, then combine."""
+    levels = _scan_levels(np.asarray(scalars))
     n = scalars.shape[0]
     target = 1 << max((n - 1).bit_length(), 0)
+    levels = max(levels, _LEVEL_HWM.get(target, 0))
+    _LEVEL_HWM[target] = levels
     if target != n:
         pad = target - n
         padz = jnp.zeros((pad, scalars.shape[1]), dtype=scalars.dtype)
         scalars = jnp.concatenate([scalars, padz])
         points_x = jnp.concatenate([points_x, padz])
         points_y = jnp.concatenate([points_y, padz])
-    return _msm_jit(scalars, points_x, points_y)
+    return _wt_jit(scalars, points_x, points_y, levels=levels)
+
+
+def combine_window_totals(wts):
+    """HOST stage: fold window totals into the final affine point.
+
+    wts: one (or a list, e.g. per mesh device, to be summed) of projective
+    window-totals triples — each 3 x (NLIMBS, NUM_WINDOWS) arrays. The
+    Horner ladder result = sum_w 2^(c*w) T_w runs in exact host arithmetic:
+    248 sequential doublings are latency-bound on device but microseconds
+    here. Synchronizes the device values. Returns (x, y) ints or None.
+    """
+    from . import hostcurve as hc
+
+    if not isinstance(wts, list):
+        wts = [wts]
+    per_window = [None] * NUM_WINDOWS  # affine per window, summed over parts
+    for wt in wts:
+        aff = lc.to_affine_host(tuple(np.asarray(c) for c in wt))
+        for w in range(NUM_WINDOWS):
+            per_window[w] = hc.g1_add(per_window[w], aff[w])
+    acc = hc.J_IDENTITY
+    for w in reversed(range(NUM_WINDOWS)):
+        if acc != hc.J_IDENTITY:
+            for _ in range(WINDOW_BITS):
+                acc = hc.j_double(acc)
+        if per_window[w] is not None:
+            acc = hc.j_add(acc, hc.j_from_affine(per_window[w]))
+    if acc == hc.J_IDENTITY:
+        return None
+    return hc.batch_normalize([acc])[0]
+
+
+def msm(scalars, points_x, points_y):
+    """Full MSM: device bucket pipeline + host window combine; synchronizes
+    and returns a host affine point (x, y) or None for identity."""
+    return combine_window_totals(
+        msm_window_totals(scalars, points_x, points_y)
+    )
 
 
 # ------------------------------------------------------------ host bridge
@@ -183,10 +247,8 @@ def msm(scalars, points_x, points_y):
 def msm_host(scalars_int, points_affine):
     """Convenience wrapper: python ints / host affine points in, host affine
     point out. The exactness oracle is ops.hostcurve.g1_msm."""
-    import numpy as np
-
-    from .constants import P
-    from .limbs import ints_to_limbs, limbs_to_ints
+    from .constants import P, R
+    from .limbs import ints_to_limbs
 
     n = len(scalars_int)
     assert n == len(points_affine)
@@ -200,13 +262,9 @@ def msm_host(scalars_int, points_affine):
         else:
             xs.append(pt[0] * FQ.mont_r % P)
             ys.append(pt[1] * FQ.mont_r % P)
-    S = jnp.asarray(ints_to_limbs([s % fj.FR.modulus for s in scalars_int]))
+    from .field_jax import FR
+
+    S = jnp.asarray(ints_to_limbs([s % FR.modulus for s in scalars_int]))
     X = jnp.asarray(ints_to_limbs(xs))
     Y = jnp.asarray(ints_to_limbs(ys))
-    res = msm(S, X, Y)
-    x, y = cj.to_affine_batch(tuple(c[None] for c in res))
-    xv = limbs_to_ints(np.asarray(fj.from_mont(x, FQ)))[0]
-    yv = limbs_to_ints(np.asarray(fj.from_mont(y, FQ)))[0]
-    if xv == 0 and yv == 0:
-        return None
-    return (xv, yv)
+    return msm(S, X, Y)

@@ -5,21 +5,19 @@ Parallelism model (SURVEY.md §2.3):
   contributions concatenate into one entry list (AccumulatorStrategy
   algebra, kzg/strategy.rs:125-141).
 - TP (point-level): one big MSM's entries are sharded across chips on a 1-D
-  mesh; each chip runs the full Pippenger pipeline on its slice and the
-  per-chip projective partials are combined with a log-depth reduction.
-  Communication is 3 field elements per chip per MSM — ICI cost is
-  negligible, so scaling efficiency tracks the per-chip Pippenger runtime.
+  mesh; each chip runs the full Pippenger bucket pipeline on its slice and
+  only its 32 projective window totals (6 KB) leave the chip — the host
+  folds them with exact arithmetic (ops/msm_jax.combine_window_totals).
+  ICI/DCN traffic is bytes per MSM, so scaling efficiency tracks the
+  per-chip Pippenger runtime.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import curve_jax as cj
 from ..ops import msm_jax
 from ..ops.limbs import NLIMBS
 
@@ -31,37 +29,45 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def _partial_msm(scalars, xs, ys):
-    """shard_map body: per-device partial MSM over this device's slice;
-    the (3, NLIMBS)-sized projective partial is the only thing that leaves
-    the chip."""
-    part = msm_jax.msm_impl(scalars, xs, ys)
-    return tuple(c[None] for c in part)  # (1, NLIMBS) per device
+def _partial_wt(scalars, xs, ys):
+    """shard_map body: per-device Pippenger window totals over this device's
+    entry slice; (3, NLIMBS, W) is the only thing that leaves the chip."""
+    wt = msm_jax.window_totals_impl(scalars, xs, ys)
+    return tuple(c[None] for c in wt)  # (1, NLIMBS, W) per device
 
 
-def sharded_msm(mesh: Mesh, scalars, xs, ys):
-    """MSM with entries sharded over the mesh's 'points' axis.
+def sharded_window_totals(mesh: Mesh, scalars, xs, ys):
+    """Per-device window totals with entries sharded over 'points'.
 
     Inputs must have leading dim divisible by the mesh size (pad with zero
-    scalars to align — zero-scalar entries contribute nothing). Per-device
-    partials concatenate to (D, NLIMBS) and reduce with D-1 complete adds
-    (bytes of traffic; the collective cost is negligible vs Pippenger).
-    """
-    ndev = mesh.devices.size
+    scalars — they contribute nothing). Returns 3 device arrays of shape
+    (D, NLIMBS, W); combine with `combine_sharded` (host)."""
 
     def pipeline(scalars, xs, ys):
-        parts = jax.shard_map(
-            _partial_msm,
+        return jax.shard_map(
+            _partial_wt,
             mesh=mesh,
             in_specs=(P("points"), P("points"), P("points")),
             out_specs=(P("points"), P("points"), P("points")),
         )(scalars, xs, ys)
-        acc = tuple(c[0] for c in parts)
-        for d in range(1, ndev):
-            acc = cj.add(acc, tuple(c[d] for c in parts))
-        return acc
 
     return jax.jit(pipeline)(scalars, xs, ys)
+
+
+def combine_sharded(parts):
+    """(D, NLIMBS, W) triple -> host affine point: per-device window totals
+    are summed per window then Horner-folded, all in exact host math."""
+    import numpy as np
+
+    arrs = [np.asarray(c) for c in parts]
+    ndev = arrs[0].shape[0]
+    wts = [tuple(a[d] for a in arrs) for d in range(ndev)]
+    return msm_jax.combine_window_totals(wts)
+
+
+def sharded_msm(mesh: Mesh, scalars, xs, ys):
+    """Full sharded MSM -> host affine point (x, y) or None."""
+    return combine_sharded(sharded_window_totals(mesh, scalars, xs, ys))
 
 
 def pad_entries(scalars, xs, ys, multiple: int):

@@ -19,12 +19,11 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 
 from ..ops import msm_jax
-from ..ops import curve_jax as cj
 from ..ops import field_jax as fj
 from ..ops import hostcurve as hc
 from ..ops import hostpairing as hp
 from ..ops.constants import P, R
-from ..ops.limbs import ints_to_limbs, limbs_to_ints
+from ..ops.limbs import ints_to_limbs
 from ..protocol.kzg import AccumulatorStrategy, DualMSM, VerifyFailure
 from ..protocol.verifier import verify_proof
 from ..transcript import TRANSCRIPT_READERS
@@ -51,11 +50,15 @@ def _entries_to_device(msm):
     )
 
 
-def _device_point_to_host(proj):
-    x, y = cj.to_affine_batch(tuple(c[None] for c in proj))
-    xv = limbs_to_ints(np.asarray(fj.from_mont(x, fj.FQ)))[0]
-    yv = limbs_to_ints(np.asarray(fj.from_mont(y, fj.FQ)))[0]
-    return None if xv == 0 and yv == 0 else (xv, yv)
+def _device_point_to_host(dispatched):
+    """Synchronize a dispatched MSM: fold its (possibly per-device) window
+    totals into the final affine point with exact host math."""
+    kind, wt = dispatched
+    if kind == "sharded":
+        from .mesh import combine_sharded
+
+        return combine_sharded(wt)
+    return msm_jax.combine_window_totals(wt)
 
 
 @dataclass
@@ -131,8 +134,8 @@ class BatchVerifier:
         return points[0], points[1]
 
     def _msm_dispatch(self, entries, pad_to):
-        """Enqueue one accumulator MSM on the device; returns the (async)
-        projective result. No host sync happens here."""
+        """Enqueue one accumulator MSM on the device; returns a dispatched
+        handle (window totals, still async). No host sync happens here."""
         if pad_to is not None and len(entries) < pad_to:
             entries = entries + [(0, None)] * (pad_to - len(entries))
         from ..protocol.kzg import MSMKZG
@@ -140,12 +143,15 @@ class BatchVerifier:
         m = MSMKZG([s for s, _ in entries], [b for _, b in entries])
         s_arr, x_arr, y_arr = _entries_to_device(m)
         if self.mesh is not None:
-            from .mesh import pad_entries, sharded_msm
+            from .mesh import pad_entries, sharded_window_totals
 
             ndev = self.mesh.devices.size
             s_arr, x_arr, y_arr = pad_entries(s_arr, x_arr, y_arr, ndev)
-            return sharded_msm(self.mesh, s_arr, x_arr, y_arr)
-        return msm_jax.msm(s_arr, x_arr, y_arr)
+            return (
+                "sharded",
+                sharded_window_totals(self.mesh, s_arr, x_arr, y_arr),
+            )
+        return ("single", msm_jax.msm_window_totals(s_arr, x_arr, y_arr))
 
     def _pairing_ok(self, left, right) -> bool:
         with self.timings.stage("host_pairing"):

@@ -32,8 +32,6 @@ def _device_entries(scalars, points):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_msm_matches_single_chip():
-    from halo2_verifier_tpu.ops import curve_jax as cj
-    from halo2_verifier_tpu.ops.limbs import limbs_to_ints
     from halo2_verifier_tpu.parallel.mesh import (
         make_mesh, pad_entries, sharded_msm,
     )
@@ -44,12 +42,8 @@ def test_sharded_msm_matches_single_chip():
     S, X, Y = _device_entries(scalars, points)
     mesh = make_mesh(8)
     S, X, Y = pad_entries(S, X, Y, 8)
-    proj = sharded_msm(mesh, S, X, Y)
-    x, y = cj.to_affine_batch(tuple(c[None] for c in proj))
-    xv = limbs_to_ints(np.asarray(fj.from_mont(x, fj.FQ)))[0]
-    yv = limbs_to_ints(np.asarray(fj.from_mont(y, fj.FQ)))[0]
-    expected = hc.g1_msm(scalars, points)
-    assert (xv, yv) == expected
+    got = sharded_msm(mesh, S, X, Y)
+    assert got == hc.g1_msm(scalars, points)
 
 
 @pytest.fixture(scope="module")
@@ -117,7 +111,7 @@ def test_graft_entry_dryrun():
         "import __graft_entry__ as g;"
         "fn, args = g.entry();"
         "out = jax.jit(fn)(*args);"
-        "assert out[0].shape[-1] == 16;"
+        "assert out[0].shape[0] == 16;"
         "g.dryrun_multichip(8);"
         "print('DRYRUN_OK')"
     )
