@@ -156,6 +156,154 @@ def window_totals_impl(scalars, points_x, points_y, levels=None):
 _wt_jit = jax.jit(window_totals_impl, static_argnames=("levels",))
 
 
+# ------------------------------------------------- grouped presorted MSM
+#
+# The batch orchestrator's fast path. Everything cheap and sequential
+# (digit extraction, entry sort, scan-depth choice) happens on the HOST in
+# numpy; the device does only the wide vector work (gather, segmented scan,
+# bucket reduction). Several independent MSMs ("groups" — e.g. a DualMSM's
+# left and right) share ONE device dispatch and ONE stacked output array,
+# because on a tunneled TPU every host<->device round trip costs ~35 ms —
+# more than the kernels themselves at batch sizes of a few thousand points.
+
+def host_plan(scalars_np, groups):
+    """Host Pippenger plan over concatenated group entries.
+
+    scalars_np: (sum(sizes), NLIMBS) uint32 canonical scalar limbs — the
+    groups' entries concatenated. `groups` is an int (equal-sized groups) or
+    a list of per-group entry counts (groups may differ in size: a DualMSM's
+    left accumulator is typically ~10x smaller than its right). Returns
+    (idx_sorted int32, keys_sorted uint32, levels int): entry order sorted
+    by global bucket key group*W*B + window*B + digit, and the scan depth
+    covering the longest non-zero-digit bucket run.
+    """
+    total = scalars_np.shape[0]
+    if isinstance(groups, int):
+        assert total % groups == 0
+        sizes = [total // groups] * groups
+    else:
+        sizes = list(groups)
+        assert sum(sizes) == total
+    per_limb = LIMB_BITS // WINDOW_BITS
+    digit_cols = []
+    for w in range(NUM_WINDOWS):
+        limb = w // per_limb
+        shift = WINDOW_BITS * (w % per_limb)
+        digit_cols.append(
+            (scalars_np[:, limb] >> shift) & np.uint32(NUM_BUCKETS - 1)
+        )
+    digits = np.stack(digit_cols, axis=1)  # (total, W)
+    group_id = np.repeat(
+        np.arange(len(sizes), dtype=np.uint32), sizes
+    )[:, None]
+    win = np.arange(NUM_WINDOWS, dtype=np.uint32)[None, :]
+    keys = (
+        group_id * np.uint32(NUM_WINDOWS * NUM_BUCKETS)
+        + win * np.uint32(NUM_BUCKETS)
+        + digits
+    ).reshape(-1)
+    point_idx = np.broadcast_to(
+        np.arange(total, dtype=np.int32)[:, None], digits.shape
+    ).reshape(-1)
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    idx_sorted = point_idx[order]
+
+    nz = keys_sorted[(keys_sorted & (NUM_BUCKETS - 1)) != 0]
+    if nz.size:
+        counts = np.bincount(nz)
+        longest = max(int(counts.max()), 1)
+    else:
+        longest = 1
+    levels = max(longest.bit_length() - (longest & (longest - 1) == 0), 1)
+    levels = min(levels + (levels & 1), 32)  # round up to even
+    return idx_sorted, keys_sorted, levels
+
+
+def window_totals_presorted_impl(points_x, points_y, idx_sorted,
+                                 keys_sorted, total_windows, levels):
+    """Device stage of the grouped MSM: gather points in host-sorted bucket
+    order, segmented-scan bucket sums, reduce. Returns ONE stacked
+    (3, NLIMBS, total_windows) array (X, Y, Z window totals) so the caller
+    fetches a single buffer.
+
+    total_windows = groups * NUM_WINDOWS; group g's windows occupy columns
+    [g*NUM_WINDOWS, (g+1)*NUM_WINDOWS).
+    """
+    m = idx_sorted.shape[0]
+    pts = lc.from_affine(points_x[idx_sorted].T, points_y[idx_sorted].T)
+    zero_digit = (keys_sorted & (NUM_BUCKETS - 1)) == 0
+    pts = lc.select_point(zero_digit, lc.identity(m), pts)
+    summed = _segmented_inclusive_scan(pts, keys_sorted, levels)
+
+    is_end = jnp.concatenate(
+        [keys_sorted[1:] != keys_sorted[:-1], jnp.ones((1,), dtype=bool)]
+    )
+    nslots = total_windows * NUM_BUCKETS + 1
+    scatter_idx = jnp.where(is_end, keys_sorted,
+                            total_windows * NUM_BUCKETS)
+    buckets = tuple(
+        jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+        .at[:, scatter_idx].set(c)
+        for c in summed
+    )
+    buckets = tuple(
+        c[:, :-1].reshape(NLIMBS, total_windows, NUM_BUCKETS)
+        for c in buckets
+    )
+    empty = lf.is_zero(buckets[1]) & lf.is_zero(buckets[2])
+    one = jnp.broadcast_to(
+        lf.mont_one(FQ, 1)[:, :, None], buckets[1].shape
+    )
+    buckets = (
+        buckets[0],
+        jnp.where(empty[None], one, buckets[1]),
+        buckets[2],
+    )
+    tail = tuple(c[:, :, 1:] for c in buckets)
+    suffix = _suffix_scan_buckets(tail)
+    totals = _suffix_scan_buckets(suffix)
+    return jnp.stack([c[:, :, 0] for c in totals])  # (3, NLIMBS, TW)
+
+
+_wt_presorted_jit = jax.jit(
+    window_totals_presorted_impl,
+    static_argnames=("total_windows", "levels"),
+)
+
+# per-(m, total_windows) high-water mark for the scan depth (see _LEVEL_HWM)
+_PLAN_HWM: dict[tuple, int] = {}
+
+
+def msm_window_totals_grouped(points_x_np, points_y_np, idx_sorted,
+                              keys_sorted, groups: int, levels: int):
+    """Dispatch the grouped MSM (groups = group COUNT); returns the
+    (3, NLIMBS, g*W) device array WITHOUT synchronizing. Inputs are host
+    numpy (uploaded here, once)."""
+    key = (idx_sorted.shape[0], groups)
+    levels = max(levels, _PLAN_HWM.get(key, 0))
+    _PLAN_HWM[key] = levels
+    return _wt_presorted_jit(
+        jnp.asarray(points_x_np), jnp.asarray(points_y_np),
+        jnp.asarray(idx_sorted), jnp.asarray(keys_sorted),
+        total_windows=groups * NUM_WINDOWS, levels=levels,
+    )
+
+
+def combine_window_totals_grouped(arr, groups: int):
+    """HOST stage: ONE fetch of the stacked (3, NLIMBS, g*W) window totals,
+    then per-group exact Horner fold. Returns a list of g affine points
+    ((x, y) ints or None)."""
+    arr_np = np.asarray(arr)  # the single device->host transfer
+    out = []
+    for gi in range(groups):
+        sl = slice(gi * NUM_WINDOWS, (gi + 1) * NUM_WINDOWS)
+        out.append(combine_window_totals(
+            tuple(arr_np[c][:, sl] for c in range(3))
+        ))
+    return out
+
+
 def _scan_levels(scalars_np) -> int:
     """Data-driven scan depth: ceil(log2(longest non-zero-digit bucket
     run)), bucketed to even values so random workloads reuse one compiled

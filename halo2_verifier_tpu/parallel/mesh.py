@@ -70,6 +70,59 @@ def sharded_msm(mesh: Mesh, scalars, xs, ys):
     return combine_sharded(sharded_window_totals(mesh, scalars, xs, ys))
 
 
+# ------------------------------------------------ grouped presorted path
+
+_SHARDED_PRESORTED_CACHE: dict = {}
+
+
+def sharded_window_totals_presorted(mesh: Mesh, xs, ys, idx_sorted,
+                                    keys_sorted, total_windows: int,
+                                    levels: int):
+    """Sharded grouped MSM: host-sorted (idx, key) entries shard across the
+    'points' axis; points replicate (the whole table is KBs). Bucket sums
+    are linear, so a segment split across a device boundary contributes two
+    partial sums whose window totals add up exactly. Returns a
+    (D, 3, NLIMBS, total_windows) device array without synchronizing."""
+    cache_key = (mesh, total_windows, levels,
+                 idx_sorted.shape[0], xs.shape[0])
+    fn = _SHARDED_PRESORTED_CACHE.get(cache_key)
+    if fn is None:
+        def body(xs, ys, idx, keys):
+            wt = msm_jax.window_totals_presorted_impl(
+                xs, ys, idx, keys, total_windows, levels
+            )
+            return wt[None]
+
+        fn = jax.jit(jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P("points"), P("points")),
+            out_specs=P("points"),
+        ))
+        _SHARDED_PRESORTED_CACHE[cache_key] = fn
+    return fn(xs, ys, idx_sorted, keys_sorted)
+
+
+def combine_sharded_grouped(arr, groups: int):
+    """(D, 3, NLIMBS, g*W) -> list of g host affine points: per-device
+    window totals summed per window, then Horner-folded (exact host math).
+    ONE device->host fetch."""
+    import numpy as np
+
+    arr_np = np.asarray(arr)
+    ndev = arr_np.shape[0]
+    W = msm_jax.NUM_WINDOWS
+    out = []
+    for gi in range(groups):
+        sl = slice(gi * W, (gi + 1) * W)
+        wts = [
+            tuple(arr_np[d][c][:, sl] for c in range(3))
+            for d in range(ndev)
+        ]
+        out.append(msm_jax.combine_window_totals(wts))
+    return out
+
+
 def pad_entries(scalars, xs, ys, multiple: int):
     """Pad entry arrays to a multiple of the mesh size with zero scalars."""
     n = scalars.shape[0]

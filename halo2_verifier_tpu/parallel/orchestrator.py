@@ -32,35 +32,6 @@ import numpy as np
 import secrets
 
 
-def _entries_to_device(msm):
-    """MSMKZG -> device arrays (scalars canonical, points Montgomery)."""
-    xs, ys, ss = [], [], []
-    for s, pt in zip(msm.scalars, msm.bases):
-        ss.append(s % R)
-        if pt is None:
-            xs.append(0)
-            ys.append(0)
-        else:
-            xs.append(pt[0] * fj.FQ.mont_r % P)
-            ys.append(pt[1] * fj.FQ.mont_r % P)
-    return (
-        jnp.asarray(ints_to_limbs(ss)),
-        jnp.asarray(ints_to_limbs(xs)),
-        jnp.asarray(ints_to_limbs(ys)),
-    )
-
-
-def _device_point_to_host(dispatched):
-    """Synchronize a dispatched MSM: fold its (possibly per-device) window
-    totals into the final affine point with exact host math."""
-    kind, wt = dispatched
-    if kind == "sharded":
-        from .mesh import combine_sharded
-
-        return combine_sharded(wt)
-    return msm_jax.combine_window_totals(wt)
-
-
 @dataclass
 class BatchResult:
     ok: bool
@@ -127,31 +98,95 @@ class BatchVerifier:
             for s, b in zip(dual.right.scalars, dual.right.bases):
                 right.append((s * w % R, b))
         with self.timings.stage("device_msm"):
-            # dispatch both MSMs before any sync: jax executes them
-            # asynchronously, so the second overlaps the first
-            projs = [self._msm_dispatch(e, pad_to) for e in (left, right)]
-            points = [_device_point_to_host(p) for p in projs]
+            handle = self._msm_dispatch_pair(left, right, pads=pad_to)
+            points = self._collect_pair(handle)
         return points[0], points[1]
 
-    def _msm_dispatch(self, entries, pad_to):
-        """Enqueue one accumulator MSM on the device; returns a dispatched
-        handle (window totals, still async). No host sync happens here."""
-        if pad_to is not None and len(entries) < pad_to:
-            entries = entries + [(0, None)] * (pad_to - len(entries))
-        from ..protocol.kzg import MSMKZG
+    # padded sizes quantize to this granularity: one compiled kernel per
+    # size class, without the up-to-2x work of power-of-two padding
+    PAD_GRAN = 256
 
-        m = MSMKZG([s for s, _ in entries], [b for _, b in entries])
-        s_arr, x_arr, y_arr = _entries_to_device(m)
+    def _msm_dispatch_pair(self, left, right, pads=None):
+        """Enqueue BOTH accumulator MSMs as one grouped device dispatch
+        (ops/msm_jax grouped path): one upload set, one kernel, and later
+        one fetch — host<->device round trips, not FLOPs, dominate at
+        batch-size MSMs. Returns an async handle; no host sync here.
+
+        pads: per-side padded entry counts — None (quantize each side to
+        PAD_GRAN), an int (both sides, as the bisection path does to reuse
+        one compiled shape across subsets), or a (pad_left, pad_right)
+        tuple."""
+        if pads is None:
+            pads = tuple(
+                max(-(-len(e) // self.PAD_GRAN) * self.PAD_GRAN,
+                    self.PAD_GRAN)
+                for e in (left, right)
+            )
+        elif isinstance(pads, int):
+            pads = (pads, pads)
+        groups = []
+        for entries, pad in zip((left, right), pads):
+            assert len(entries) <= pad
+            groups.append(entries + [(0, None)] * (pad - len(entries)))
+        ss, xs, ys = [], [], []
+        for entries in groups:
+            for s, pt in entries:
+                ss.append(s % R)
+                if pt is None:
+                    xs.append(0)
+                    ys.append(0)
+                else:
+                    xs.append(pt[0] * fj.FQ.mont_r % P)
+                    ys.append(pt[1] * fj.FQ.mont_r % P)
+        s_np = ints_to_limbs(ss)
+        x_np = ints_to_limbs(xs)
+        y_np = ints_to_limbs(ys)
+        idx_sorted, keys_sorted, levels = msm_jax.host_plan(
+            s_np, [len(g) for g in groups]
+        )
         if self.mesh is not None:
-            from .mesh import pad_entries, sharded_window_totals
+            from .mesh import sharded_window_totals_presorted
 
             ndev = self.mesh.devices.size
-            s_arr, x_arr, y_arr = pad_entries(s_arr, x_arr, y_arr, ndev)
-            return (
-                "sharded",
-                sharded_window_totals(self.mesh, s_arr, x_arr, y_arr),
+            m = idx_sorted.shape[0]
+            rem = (-m) % ndev
+            if rem:
+                # pad with identity-point entries in the last segment: the
+                # complete add absorbs identities, the repeated key keeps
+                # the order sorted
+                x_np = np.concatenate(
+                    [x_np, np.zeros((1, x_np.shape[1]), x_np.dtype)]
+                )
+                y_np = np.concatenate(
+                    [y_np, np.zeros((1, y_np.shape[1]), y_np.dtype)]
+                )
+                idx_sorted = np.concatenate([
+                    idx_sorted,
+                    np.full(rem, x_np.shape[0] - 1, idx_sorted.dtype),
+                ])
+                keys_sorted = np.concatenate([
+                    keys_sorted,
+                    np.full(rem, keys_sorted[-1], keys_sorted.dtype),
+                ])
+            arr = sharded_window_totals_presorted(
+                self.mesh, jnp.asarray(x_np), jnp.asarray(y_np),
+                jnp.asarray(idx_sorted), jnp.asarray(keys_sorted),
+                total_windows=2 * msm_jax.NUM_WINDOWS, levels=levels,
             )
-        return ("single", msm_jax.msm_window_totals(s_arr, x_arr, y_arr))
+            return ("sharded_grouped", arr)
+        arr = msm_jax.msm_window_totals_grouped(
+            x_np, y_np, idx_sorted, keys_sorted, groups=2, levels=levels
+        )
+        return ("grouped", arr)
+
+    def _collect_pair(self, handle):
+        """Synchronize a dispatched MSM pair: one fetch, exact host fold."""
+        kind, arr = handle
+        if kind == "sharded_grouped":
+            from .mesh import combine_sharded_grouped
+
+            return combine_sharded_grouped(arr, 2)
+        return msm_jax.combine_window_totals_grouped(arr, 2)
 
     def _pairing_ok(self, left, right) -> bool:
         with self.timings.stage("host_pairing"):
@@ -169,18 +204,20 @@ class BatchVerifier:
             # a malformed proof: fall back to per-proof replay to identify
             return self._verify_individually(proofs_and_instances)
         weights = [self._rng() for _ in duals]
-        # one padded size for the whole batch: all bisection subsets are
-        # strictly smaller, so they share this compiled kernel variant
-        max_entries = max(
-            sum(len(duals[i].left.scalars) for i in range(n)),
-            sum(len(duals[i].right.scalars) for i in range(n)),
-        )
-        pad_to = 1 << max(max_entries - 1, 0).bit_length()
-        left, right = self._eval_combined(duals, weights, pad_to)
+        # main check: tight per-side padding (PAD_GRAN classes)
+        left, right = self._eval_combined(duals, weights)
         if self._pairing_ok(left, right):
             return BatchResult(True, n)
         if not localize:
             return BatchResult(False, n)
+        # localization: one padded size for all bisection subsets — every
+        # subset is smaller than the batch, so they share ONE compiled
+        # kernel variant (recompiles, not FLOPs, dominate bisection cost)
+        max_entries = max(
+            sum(len(duals[i].left.scalars) for i in range(n)),
+            sum(len(duals[i].right.scalars) for i in range(n)),
+        )
+        pad_to = -(-max_entries // self.PAD_GRAN) * self.PAD_GRAN
         failed = self._bisect(duals, list(range(n)), pad_to)
         return BatchResult(False, n, failed)
 
@@ -194,7 +231,8 @@ class BatchVerifier:
         compiled; defaults to the first batch's padded size (later batches
         must not exceed it — keep batch sizes uniform).
         """
-        pending = None  # (batch, duals, pad, left_proj, right_proj)
+        pending = None  # (batch, duals, pad, handle)
+        stream_pads = (pad_to, pad_to) if pad_to is not None else None
         for batch in batches:
             try:
                 duals = self.replay(batch)
@@ -204,12 +242,6 @@ class BatchVerifier:
                     pending = None
                 yield self._verify_individually(batch)
                 continue
-            n = len(batch)
-            max_entries = max(
-                sum(len(duals[i].left.scalars) for i in range(n)),
-                sum(len(duals[i].right.scalars) for i in range(n)),
-            )
-            pad = pad_to or (1 << max(max_entries - 1, 0).bit_length())
             weights = [self._rng() for _ in duals]
             left = []
             right = []
@@ -218,19 +250,26 @@ class BatchVerifier:
                     left.append((s * w % R, b))
                 for s, b in zip(dual.right.scalars, dual.right.bases):
                     right.append((s * w % R, b))
+            if stream_pads is None:
+                # pin the first batch's per-side padded shape across the
+                # stream: later batches reuse the compiled kernel — keep
+                # batch sizes uniform
+                stream_pads = tuple(
+                    max(-(-len(e) // self.PAD_GRAN) * self.PAD_GRAN,
+                        self.PAD_GRAN)
+                    for e in (left, right)
+                )
             with self.timings.stage("device_msm_dispatch"):
-                lp = self._msm_dispatch(left, pad)
-                rp = self._msm_dispatch(right, pad)
+                handle = self._msm_dispatch_pair(left, right, stream_pads)
             if pending is not None:
                 yield self._finish_pipelined(*pending, localize)
-            pending = (batch, duals, pad, lp, rp)
+            pending = (batch, duals, max(stream_pads), handle)
         if pending is not None:
             yield self._finish_pipelined(*pending, localize)
 
-    def _finish_pipelined(self, batch, duals, pad, lp, rp, localize):
+    def _finish_pipelined(self, batch, duals, pad, handle, localize):
         with self.timings.stage("device_msm_collect"):
-            left = _device_point_to_host(lp)
-            right = _device_point_to_host(rp)
+            left, right = self._collect_pair(handle)
         n = len(batch)
         if self._pairing_ok(left, right):
             return BatchResult(True, n)
