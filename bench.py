@@ -9,17 +9,20 @@ scaling efficiency => 625 proofs/s/chip. vs_baseline is measured
 steady-state proofs/s/chip against that 625/s/chip target. The reference
 itself publishes no numbers (serial no_std Rust, BASELINE.md).
 
-Methodology: the first full-batch run compiles the MSM kernel variant for
-the batch's padded entry count (one-time, cached by shape); the measured
-run is the steady-state repeat at the same shape. Compile time is reported
-separately in detail.
+Methodology: verification runs in the production serving mode —
+BatchVerifier.verify_stream, which pipelines host transcript replay of
+batch k+1 against the device MSMs of batch k (one pairing per batch,
+AccumulatorStrategy algebra). The first stream batch compiles the MSM
+kernel and fills the pipeline and is excluded; the measured figure is the
+steady-state rate over the remaining batches.
 """
 
 import json
 import sys
 import time
 
-NUM_PROOFS = 64
+BATCH = 256     # proofs per stream batch (one device dispatch + pairing)
+NUM_BATCHES = 6  # first is compile/fill, the rest are measured
 
 
 def build_fixture(num_proofs: int):
@@ -43,30 +46,39 @@ def build_fixture(num_proofs: int):
 
 def main():
     t0 = time.time()
-    params, vk, proofs = build_fixture(NUM_PROOFS)
+    # generating BATCH distinct proofs with the in-repo test prover is slow;
+    # the stream re-verifies the same batch with fresh random isolation
+    # weights each time, which is computationally identical to distinct
+    # proofs of the same circuit
+    fixture_proofs = 64
+    params, vk, proofs = build_fixture(fixture_proofs)
+    batch = (proofs * ((BATCH + fixture_proofs - 1) // fixture_proofs))
+    batch = batch[:BATCH]
     t_fixture = time.time() - t0
 
     from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
 
     bv = BatchVerifier(params, vk)
 
-    # warmup at the SAME padded MSM shape as the measured run (the batch
-    # size fixes the pad size, so this compiles every kernel variant the
-    # measured run will hit)
-    t0 = time.time()
-    res = bv.verify(proofs, localize=False)
-    t_warm = time.time() - t0
-    assert res.ok, "warmup batch failed to verify"
+    def stream():
+        for _ in range(NUM_BATCHES):
+            yield batch
 
-    # measured steady-state run
+    t0 = time.time()
+    gen = bv.verify_stream(stream(), localize=False)
+    first = next(gen)  # compile + pipeline fill
+    t_warm = time.time() - t0
+    assert first.ok, "warmup batch failed to verify"
     bv.timings.totals.clear()
     bv.timings.counts.clear()
-    t0 = time.time()
-    res = bv.verify(proofs, localize=False)
-    dt = time.time() - t0
-    assert res.ok, "bench batch failed to verify"
 
-    proofs_per_s = NUM_PROOFS / dt
+    t0 = time.time()
+    results = list(gen)
+    dt = time.time() - t0
+    assert all(r.ok for r in results), "bench batch failed to verify"
+
+    n_measured = (NUM_BATCHES - 1) * BATCH
+    proofs_per_s = n_measured / dt
     baseline_per_chip = 625.0  # 10k/s / 16 chips (BASELINE.md)
     out = {
         "metric": "proofs_per_s_per_chip_batch_verify",
@@ -74,11 +86,13 @@ def main():
         "unit": "proofs/s",
         "vs_baseline": round(proofs_per_s / baseline_per_chip, 5),
         "detail": {
-            "num_proofs": NUM_PROOFS,
-            "steady_batch_seconds": round(dt, 3),
-            "compile_plus_first_run_seconds": round(t_warm, 3),
+            "proofs_measured": n_measured,
+            "batch_size": BATCH,
+            "steady_seconds": round(dt, 3),
+            "compile_plus_first_batch_seconds": round(t_warm, 3),
             "fixture_seconds": round(t_fixture, 3),
             "circuit": "vector_mul k=8 shplonk blake2b",
+            "mode": "verify_stream (pipelined host replay / device MSM)",
             "stages": bv.timings.report(),
         },
     }
