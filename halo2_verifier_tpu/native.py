@@ -116,5 +116,19 @@ def load():
         ctypes.c_char_p,
     ]
     lib.h2v_pairing_check.restype = ctypes.c_int
+    lib.h2v_replay_batch.argtypes = [
+        ctypes.c_char_p,                     # program
+        ctypes.c_char_p,                     # proofs
+        ctypes.c_uint64,                     # proof_stride
+        ctypes.POINTER(ctypes.c_uint64),     # proof_lens
+        ctypes.c_char_p,                     # aux
+        ctypes.c_uint64,                     # aux_stride
+        ctypes.c_uint64,                     # n_proofs
+        ctypes.c_char_p,                     # out_scalars
+        ctypes.c_char_p,                     # out_points
+        ctypes.c_char_p,                     # status
+        ctypes.c_int,                        # n_threads
+    ]
+    lib.h2v_replay_batch.restype = ctypes.c_int64
     _lib = lib
     return _lib

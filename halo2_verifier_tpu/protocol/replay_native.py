@@ -1,0 +1,132 @@
+"""Native batched replay: per-vk traced programs executed by the C++ VM.
+
+CompiledReplay = trace once (protocol/trace.py) + execute per proof batch
+(native/replayvm.cpp, threaded). Produces the same DualMSM entry lists as
+protocol/verifier.verify_proof with a _Capture strategy — the Python path
+remains the reference implementation; differential tests assert bit
+equality (tests/test_replay_vm.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..ops.constants import R
+from .kzg import DualMSM, MSMKZG, VerifyFailure
+from .trace import trace_verify
+
+
+class MalformedProof(VerifyFailure):
+    """The VM rejected a proof stream (bad encoding / truncation)."""
+
+    def __init__(self, indices):
+        super().__init__(f"malformed proofs at batch indices {indices}")
+        self.indices = indices
+
+
+def _load_vm():
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "h2v_replay_batch"):
+        return None
+    return lib
+
+
+class CompiledReplay:
+    """One traced verifier program for (params, vk, instance shape,
+    multiopen, hash)."""
+
+    def __init__(self, params, vk, instance_shape, multiopen="shplonk",
+                 hash_name="blake2b"):
+        self.params = params
+        self.program = trace_verify(params, vk, instance_shape,
+                                    multiopen=multiopen,
+                                    hash_name=hash_name)
+        self.blob = self.program.serialize()
+        self.n_out = len(self.program.out_regs)
+        self.n_points = self.program.n_points
+        self.n_aux = self.program.n_aux
+
+    def replay_batch(self, proofs_and_instances):
+        """[(proof_bytes, instances)] -> list of DualMSM.
+
+        Raises MalformedProof (listing indices) if any proof stream is
+        invalid — the same outcome class as the Python replay raising on
+        the first bad proof.
+        """
+        lib = _load_vm()
+        assert lib is not None, "native VM unavailable"
+        n = len(proofs_and_instances)
+        stride = max(len(p) for p, _ in proofs_and_instances)
+        stride = max(stride, 1)
+        proof_buf = bytearray(n * stride)
+        lens = np.empty(n, dtype=np.uint64)
+        aux_stride = self.n_aux * 32
+        aux_buf = bytearray(max(n * aux_stride, 1))
+        for i, (proof, instances) in enumerate(proofs_and_instances):
+            proof_buf[i * stride: i * stride + len(proof)] = proof
+            lens[i] = len(proof)
+            flat = [v for col in instances for v in col]
+            if len(flat) != self.n_aux:
+                raise ValueError("instance shape mismatch vs traced program")
+            off = i * aux_stride
+            for v in flat:
+                aux_buf[off: off + 32] = int(v % R).to_bytes(32, "little")
+                off += 32
+
+        out_scalars = ctypes.create_string_buffer(n * self.n_out * 32)
+        out_points = ctypes.create_string_buffer(
+            max(n * self.n_points * 64, 1))
+        status = ctypes.create_string_buffer(n)
+        bad = lib.h2v_replay_batch(
+            bytes(self.blob), bytes(proof_buf), stride,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            bytes(aux_buf), aux_stride, n, out_scalars, out_points, status,
+            2,
+        )
+        if bad < 0:
+            raise RuntimeError("replay VM rejected the program")
+        if bad:
+            raise MalformedProof(
+                [i for i in range(n) if status.raw[i]]
+            )
+        sc = out_scalars.raw
+        pt = out_points.raw
+        duals = []
+        for i in range(n):
+            so = i * self.n_out * 32
+            scalars = [
+                int.from_bytes(sc[so + 32 * j: so + 32 * (j + 1)], "little")
+                for j in range(self.n_out)
+            ]
+            po = i * self.n_points * 64
+            points = [
+                (
+                    int.from_bytes(pt[po + 64 * j: po + 64 * j + 32],
+                                   "little"),
+                    int.from_bytes(pt[po + 64 * j + 32: po + 64 * (j + 1)],
+                                   "little"),
+                )
+                for j in range(self.n_points)
+            ]
+
+            def build(entries):
+                m = MSMKZG()
+                for out_idx, (kind, ref) in entries:
+                    base = points[ref] if kind == "pt" else ref
+                    m.append_term(scalars[out_idx], base)
+                return m
+
+            duals.append(DualMSM(
+                self.params,
+                build(self.program.left_entries),
+                build(self.program.right_entries),
+            ))
+        return duals
+
+
+def vm_available() -> bool:
+    return _load_vm() is not None
