@@ -32,6 +32,21 @@ import numpy as np
 import secrets
 
 
+def _dedup_entries(entries):
+    """Merge MSM entries sharing a base point: sum their scalars mod R.
+    First-appearance order; identity-base (None) entries merge too."""
+    idx = {}
+    out = []
+    for s, b in entries:
+        j = idx.get(b)
+        if j is None:
+            idx[b] = len(out)
+            out.append([s % R, b])
+        else:
+            out[j][0] = (out[j][0] + s) % R
+    return [(s, b) for s, b in out]
+
+
 @dataclass
 class BatchResult:
     ok: bool
@@ -171,6 +186,11 @@ class BatchVerifier:
         PAD_GRAN), an int (both sides, as the bisection path does to reuse
         one compiled shape across subsets), or a (pad_left, pad_right)
         tuple."""
+        # vk-shared bases (fixed/sigma commitments, the g1 generator) repeat
+        # across every proof in the batch: summing their scalars on the host
+        # collapses ~1/3 of the entries before any device work
+        left = _dedup_entries(left)
+        right = _dedup_entries(right)
         if pads is None:
             pads = tuple(
                 max(-(-len(e) // self.PAD_GRAN) * self.PAD_GRAN,
