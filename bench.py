@@ -46,14 +46,12 @@ def build_fixture(num_proofs: int):
 
 def main():
     t0 = time.time()
-    # generating BATCH distinct proofs with the in-repo test prover is slow;
-    # the stream re-verifies the same batch with fresh random isolation
-    # weights each time, which is computationally identical to distinct
-    # proofs of the same circuit
-    fixture_proofs = 64
-    params, vk, proofs = build_fixture(fixture_proofs)
-    batch = (proofs * ((BATCH + fixture_proofs - 1) // fixture_proofs))
-    batch = batch[:BATCH]
+    # BATCH distinct proofs: repeating a smaller fixture would understate
+    # MSM work (identical commitments dedup into one entry). The stream
+    # re-verifies the same batch with fresh random isolation weights each
+    # round, which is computationally identical to a continuous feed of
+    # distinct proofs of this circuit.
+    params, vk, batch = build_fixture(BATCH)
     t_fixture = time.time() - t0
 
     from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier

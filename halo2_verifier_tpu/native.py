@@ -124,6 +124,7 @@ def load():
         ctypes.c_char_p,                     # aux
         ctypes.c_uint64,                     # aux_stride
         ctypes.c_uint64,                     # n_proofs
+        ctypes.c_char_p,                     # weights (or None)
         ctypes.c_char_p,                     # out_scalars
         ctypes.c_char_p,                     # out_points
         ctypes.c_char_p,                     # status

@@ -125,6 +125,22 @@ def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
     ox[:, :], oy[:, :], oz[:, :] = r
 
 
+def _masked_add_kernel(x1, y1, z1, x2, y2, z2, m, ox, oy, oz):
+    """out = mask ? p + q : p — the scan-step primitive. Fusing the select
+    into the kernel keeps the un-selected coordinates in VMEM instead of
+    round-tripping both the add result and the original through HBM.
+    The mask arrives pre-broadcast to the full (NLIMBS, B) tile: Mosaic's
+    layout inference rejects 1-sublane blocks."""
+    p = (x1[:, :], y1[:, :], z1[:, :])
+    r = add_body(p, (x2[:, :], y2[:, :], z2[:, :]))
+    mask = m[:, :] != 0
+    ox[:, :], oy[:, :], oz[:, :] = (
+        jnp.where(mask, r[0], p[0]),
+        jnp.where(mask, r[1], p[1]),
+        jnp.where(mask, r[2], p[2]),
+    )
+
+
 def _double_kernel(x, y, z, ox, oy, oz):
     r = double_body((x[:, :], y[:, :], z[:, :]))
     ox[:, :], oy[:, :], oz[:, :] = r
@@ -153,6 +169,30 @@ def _point_pallas_call(kernel, n_in, coords):
 @jax.jit
 def _add_pallas(p, q):
     return _point_pallas_call(_add_kernel, 6, (*p, *q))
+
+
+@jax.jit
+def _masked_add_pallas(p, q, mask_row):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = p[0].shape
+    grid = (shape[1] // lf.BLOCK_B,)
+    bs = pl.BlockSpec((NLIMBS, lf.BLOCK_B), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    ms = pl.BlockSpec((NLIMBS, lf.BLOCK_B), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    mask_full = jnp.broadcast_to(mask_row, shape)
+    out = pl.pallas_call(
+        _masked_add_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, p[0].dtype) for _ in range(3)
+        ),
+        grid=grid,
+        in_specs=[bs] * 6 + [ms],
+        out_specs=(bs, bs, bs),
+    )(*p, *q, mask_full)
+    return tuple(out)
 
 
 @jax.jit
@@ -187,6 +227,20 @@ def add(p, q):
         out = _add_pallas(tuple(flat[:3]), tuple(flat[3:]))
         return _unflatten(out, shape, b)
     return add_body(p, q)
+
+
+def masked_add(p, q, mask):
+    """mask ? p + q : p, with mask shaped like the coords' non-limb axes.
+    One fused kernel on TPU; body + select fallback elsewhere."""
+    if _pallas_ok(p):
+        flat, shape, b = _flatten_pad((*p, *q))
+        mrow = jnp.asarray(mask, dtype=jnp.uint8).reshape(1, -1)
+        rem = (-mrow.shape[1]) % lf.BLOCK_B
+        if rem:
+            mrow = jnp.pad(mrow, ((0, 0), (0, rem)))
+        out = _masked_add_pallas(tuple(flat[:3]), tuple(flat[3:]), mrow)
+        return _unflatten(out, shape, b)
+    return select_point(mask, add_body(p, q), p)
 
 
 def double(p):

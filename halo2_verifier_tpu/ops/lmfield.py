@@ -71,14 +71,38 @@ def _shift_rows_down(x):
     return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
 
 
-def carry_prop(x):
-    """Exact carry propagation of uint32 columns to 16-bit limbs.
+def carry_prop_static(x):
+    """Branch-free exact carry propagation of uint32 columns to 16-bit
+    limbs: two shift-fold passes bring EVERY u32 value to <= 2^16 (pass 1:
+    <= 65535 + 65535; pass 2: <= 65535 + 1), then a Kogge-Stone
+    generate/propagate scan resolves the residual +1 ripple (the
+    value-65536 rows) exactly in ceil(log2(rows)) boolean steps. No
+    data-dependent while_loop, no cross-lane reductions — everything is a
+    full-tile vector op, which is what the Pallas kernels want. Exactness
+    is tested against the fold-to-fixpoint oracle on adversarial ripple
+    chains (tests/test_lm_kernels.py)."""
+    for _ in range(2):
+        x = (x & MASK) + _shift_rows_down(x >> LIMB_BITS)
+    # x <= 65536: value = r + 2^16 * g with r <= 65535, g in {0, 1}
+    r = x & MASK
+    # carry INTO row k: c_k = g_{k-1} | (p_{k-1} & c_{k-1})
+    G = _shift_rows_down(x >> LIMB_BITS)
+    P = _shift_rows_down((r == MASK).astype(U32))
+    rows = x.shape[0]
+    d = 1
+    while d < rows:
+        zG = jnp.concatenate([jnp.zeros_like(G[:d]), G[:-d]], axis=0)
+        zP = jnp.concatenate([jnp.zeros_like(P[:d]), P[:-d]], axis=0)
+        G = G | (P & zG)
+        P = P & zP
+        d *= 2
+    return (r + G) & MASK
 
-    Each pass folds every column's high half into the next row; magnitudes
-    strictly decrease, so the loop converges (3-4 passes typical, bounded by
-    the row count). Carries out of the top row are dropped — callers size the
-    row count so the true carry is zero, or keep an explicit overflow row.
-    """
+
+def carry_prop_loop(x):
+    """Fold-to-fixpoint carry propagation (compact graph: one while_loop
+    node). Semantically identical to carry_prop_static; preferred off-TPU
+    because XLA-CPU compile time scales with unrolled graph size."""
 
     def cond(x):
         return jnp.any(x >> LIMB_BITS)
@@ -87,6 +111,24 @@ def carry_prop(x):
         return (x & MASK) + _shift_rows_down(x >> LIMB_BITS)
 
     return jax.lax.while_loop(cond, body, x)
+
+
+def carry_prop(x):
+    """Exact carry propagation of uint32 columns to 16-bit limbs. Carries
+    out of the top row are dropped — callers size the row count so the true
+    carry is zero, or keep an explicit overflow row.
+
+    Two equivalent implementations: the static unrolled form executes
+    faster on TPU (no per-pass cross-lane any() reduction); the while_loop
+    form compiles ~3x faster on CPU where tests run. H2V_STATIC_CARRY=0/1
+    overrides the backend-based choice (the CPU test suite pins =1 on a
+    subset to cover the static path)."""
+    import os
+
+    flag = os.environ.get("H2V_STATIC_CARRY")
+    if flag is not None:
+        return carry_prop_static(x) if flag != "0" else carry_prop_loop(x)
+    return carry_prop_static(x) if use_pallas() else carry_prop_loop(x)
 
 
 def _with_overflow_row(x):

@@ -64,7 +64,7 @@ def _segmented_inclusive_scan(pts, keys, levels):
         offset = jnp.uint32(1) << k
         shifted = tuple(jnp.roll(c, offset, axis=1) for c in pts)
         same = (idx >= offset) & (keys == jnp.roll(keys, offset))
-        return lc.select_point(same, lc.add(pts, shifted), pts)
+        return lc.masked_add(pts, shifted, same)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
@@ -80,7 +80,7 @@ def _suffix_scan_buckets(pts):
         offset = jnp.uint32(1) << k
         shifted = tuple(jnp.roll(c, -offset, axis=2) for c in pts)
         valid = jnp.broadcast_to(idx + offset < m, pts[0].shape[1:])
-        return lc.select_point(valid, lc.add(pts, shifted), pts)
+        return lc.masked_add(pts, shifted, valid)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
@@ -227,11 +227,18 @@ def window_totals_presorted_impl(points_x, points_y, idx_sorted,
     (3, NLIMBS, total_windows) array (X, Y, Z window totals) so the caller
     fetches a single buffer.
 
+    points_x/points_y are CANONICAL affine limbs ((0,0) = identity); the
+    Montgomery conversion happens here, after the gather, as two wide
+    device multiplies — the host never touches per-point big ints.
+
     total_windows = groups * NUM_WINDOWS; group g's windows occupy columns
     [g*NUM_WINDOWS, (g+1)*NUM_WINDOWS).
     """
     m = idx_sorted.shape[0]
-    pts = lc.from_affine(points_x[idx_sorted].T, points_y[idx_sorted].T)
+    r2 = jnp.broadcast_to(FQ.r2_limbs.reshape(NLIMBS, 1), (NLIMBS, m))
+    gx = lf.mont_mul(points_x[idx_sorted].T, r2, FQ)
+    gy = lf.mont_mul(points_y[idx_sorted].T, r2, FQ)
+    pts = lc.from_affine(gx, gy)
     zero_digit = (keys_sorted & (NUM_BUCKETS - 1)) == 0
     pts = lc.select_point(zero_digit, lc.identity(m), pts)
     summed = _segmented_inclusive_scan(pts, keys_sorted, levels)

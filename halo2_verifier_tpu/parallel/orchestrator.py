@@ -211,14 +211,18 @@ class BatchVerifier:
                     xs.append(0)
                     ys.append(0)
                 else:
-                    xs.append(pt[0] * fj.FQ.mont_r % P)
-                    ys.append(pt[1] * fj.FQ.mont_r % P)
+                    xs.append(pt[0])
+                    ys.append(pt[1])
         s_np = ints_to_limbs(ss)
         x_np = ints_to_limbs(xs)
         y_np = ints_to_limbs(ys)
-        idx_sorted, keys_sorted, levels = msm_jax.host_plan(
-            s_np, [len(g) for g in groups]
-        )
+        return self._dispatch_limbs(s_np, x_np, y_np,
+                                    [len(g) for g in groups])
+
+    def _dispatch_limbs(self, s_np, x_np, y_np, sizes):
+        """Dispatch the grouped MSM from canonical limb arrays (scalars and
+        affine coords, concatenated per group). Returns the async handle."""
+        idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted
 
@@ -253,6 +257,70 @@ class BatchVerifier:
             x_np, y_np, idx_sorted, keys_sorted, groups=2, levels=levels
         )
         return ("grouped", arr)
+
+    def _fast_stream_dispatch(self, batch, pads):
+        """VM raw fast path for a homogeneous stream batch: replay with the
+        per-proof isolation weights folded in-VM, assemble the two
+        accumulator MSMs as numpy limb arrays (no per-entry Python big
+        ints), dispatch. Returns (handle, pads) or None when inapplicable
+        (VM unavailable / heterogeneous vks). MalformedProof propagates."""
+        import os
+
+        if os.environ.get("H2V_DISABLE_VM"):
+            return None
+        if any(len(item) > 2 for item in batch):
+            return None  # heterogeneous-vk batches take the general path
+        from ..protocol.replay_native import CompiledReplay, vm_available
+
+        if not vm_available():
+            return None
+        if not hasattr(self, "_vm_programs"):
+            self._vm_programs = {}
+        shape = tuple(len(c) for c in batch[0][1])
+        key = (id(self.vk), shape)
+        try:
+            if key not in self._vm_programs:
+                self._vm_programs[key] = CompiledReplay(
+                    self.params, self.vk, shape, multiopen=self.multiopen,
+                    hash_name=self.hash_name,
+                )
+            program = self._vm_programs[key]
+            weights = [self._rng() for _ in batch]
+            with self.timings.stage("host_replay"):
+                sc, pt = program.replay_batch_raw(batch, weights)
+            with self.timings.stage("host_assemble"):
+                arrs = program.batch_msm_arrays(sc, pt, len(batch))
+        except VerifyFailure:
+            raise
+        except Exception:
+            return None
+        if pads is None:
+            pads = tuple(
+                max(-(-arrs[s][0].shape[0] // self.PAD_GRAN)
+                    * self.PAD_GRAN, self.PAD_GRAN)
+                for s in ("left", "right")
+            )
+        parts = {"s": [], "x": [], "y": []}
+        sizes = []
+        for side, pad in zip(("left", "right"), pads):
+            S, X, Y = arrs[side]
+            m = S.shape[0]
+            assert m <= pad, "stream batch grew past the pinned pad size"
+            if m < pad:
+                z = np.zeros((pad - m, S.shape[1]), dtype=S.dtype)
+                S, X, Y = (np.concatenate([a, z]) for a in (S, X, Y))
+            parts["s"].append(S)
+            parts["x"].append(X)
+            parts["y"].append(Y)
+            sizes.append(pad)
+        with self.timings.stage("device_msm_dispatch"):
+            handle = self._dispatch_limbs(
+                np.concatenate(parts["s"]),
+                np.concatenate(parts["x"]),
+                np.concatenate(parts["y"]),
+                sizes,
+            )
+        return handle, pads
 
     def _collect_pair(self, handle):
         """Synchronize a dispatched MSM pair: one fetch, exact host fold."""
@@ -306,41 +374,77 @@ class BatchVerifier:
         compiled; defaults to the first batch's padded size (later batches
         must not exceed it — keep batch sizes uniform).
         """
-        pending = None  # (batch, duals, pad, handle)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # finish (device sync + fetch + pairing) runs on a worker thread so
+        # it overlaps the NEXT batch's replay — both sides release the GIL
+        # (native VM call; device transfer; native pairing)
+        executor = ThreadPoolExecutor(max_workers=1)
+        pending = None  # Future[BatchResult]
         stream_pads = (pad_to, pad_to) if pad_to is not None else None
-        for batch in batches:
-            try:
-                duals = self.replay(batch)
-            except Exception:
-                if pending is not None:
-                    yield self._finish_pipelined(*pending, localize)
-                    pending = None
-                yield self._verify_individually(batch)
-                continue
-            weights = [self._rng() for _ in duals]
-            left = []
-            right = []
-            for dual, w in zip(duals, weights):
-                for s, b in zip(dual.left.scalars, dual.left.bases):
-                    left.append((s * w % R, b))
-                for s, b in zip(dual.right.scalars, dual.right.bases):
-                    right.append((s * w % R, b))
-            if stream_pads is None:
-                # pin the first batch's per-side padded shape across the
-                # stream: later batches reuse the compiled kernel — keep
-                # batch sizes uniform
-                stream_pads = tuple(
-                    max(-(-len(e) // self.PAD_GRAN) * self.PAD_GRAN,
-                        self.PAD_GRAN)
-                    for e in (left, right)
+        try:
+            for batch in batches:
+                # fast path: VM replay with in-VM weight folding, numpy MSM
+                # assembly — no per-proof Python accumulators unless a
+                # failure later needs localization
+                try:
+                    fast = self._fast_stream_dispatch(batch, stream_pads)
+                except VerifyFailure:
+                    if pending is not None:
+                        yield pending.result()
+                        pending = None
+                    yield self._verify_individually(batch)
+                    continue
+                if fast is not None:
+                    handle, pads = fast
+                    stream_pads = stream_pads or pads
+                    fut = executor.submit(
+                        self._finish_pipelined, batch, None,
+                        max(stream_pads), handle, localize,
+                    )
+                    if pending is not None:
+                        yield pending.result()
+                    pending = fut
+                    continue
+                try:
+                    duals = self.replay(batch)
+                except Exception:
+                    if pending is not None:
+                        yield pending.result()
+                        pending = None
+                    yield self._verify_individually(batch)
+                    continue
+                weights = [self._rng() for _ in duals]
+                left = []
+                right = []
+                for dual, w in zip(duals, weights):
+                    for s, b in zip(dual.left.scalars, dual.left.bases):
+                        left.append((s * w % R, b))
+                    for s, b in zip(dual.right.scalars, dual.right.bases):
+                        right.append((s * w % R, b))
+                if stream_pads is None:
+                    # pin the first batch's per-side padded shape across
+                    # the stream: later batches reuse the compiled kernel —
+                    # keep batch sizes uniform
+                    stream_pads = tuple(
+                        max(-(-len(e) // self.PAD_GRAN) * self.PAD_GRAN,
+                            self.PAD_GRAN)
+                        for e in (left, right)
+                    )
+                with self.timings.stage("device_msm_dispatch"):
+                    handle = self._msm_dispatch_pair(left, right,
+                                                     stream_pads)
+                fut = executor.submit(
+                    self._finish_pipelined, batch, duals,
+                    max(stream_pads), handle, localize,
                 )
-            with self.timings.stage("device_msm_dispatch"):
-                handle = self._msm_dispatch_pair(left, right, stream_pads)
+                if pending is not None:
+                    yield pending.result()
+                pending = fut
             if pending is not None:
-                yield self._finish_pipelined(*pending, localize)
-            pending = (batch, duals, max(stream_pads), handle)
-        if pending is not None:
-            yield self._finish_pipelined(*pending, localize)
+                yield pending.result()
+        finally:
+            executor.shutdown(wait=True)
 
     def _finish_pipelined(self, batch, duals, pad, handle, localize):
         with self.timings.stage("device_msm_collect"):
@@ -350,6 +454,10 @@ class BatchVerifier:
             return BatchResult(True, n)
         if not localize:
             return BatchResult(False, n)
+        if duals is None:
+            # fast path keeps no per-proof accumulators; localization is the
+            # rare branch, so replay once more for the bisection
+            duals = self.replay(batch)
         return BatchResult(
             False, n, self._bisect(duals, list(range(n)), pad)
         )

@@ -50,8 +50,11 @@ class CompiledReplay:
         self.n_points = self.program.n_points
         self.n_aux = self.program.n_aux
 
-    def replay_batch(self, proofs_and_instances):
-        """[(proof_bytes, instances)] -> list of DualMSM.
+    def replay_batch_raw(self, proofs_and_instances, weights=None):
+        """Run the VM; returns (scalars_bytes, points_bytes) raw buffers:
+        scalars n * n_out * 32B canonical LE (weighted by the per-proof
+        isolation weight when `weights` is given), points n * n_points *
+        64B canonical LE x||y.
 
         Raises MalformedProof (listing indices) if any proof stream is
         invalid — the same outcome class as the Python replay raising on
@@ -76,6 +79,11 @@ class CompiledReplay:
             for v in flat:
                 aux_buf[off: off + 32] = int(v % R).to_bytes(32, "little")
                 off += 32
+        wbuf = None
+        if weights is not None:
+            assert len(weights) == n
+            wbuf = b"".join(int(w % R).to_bytes(32, "little")
+                            for w in weights)
 
         out_scalars = ctypes.create_string_buffer(n * self.n_out * 32)
         out_points = ctypes.create_string_buffer(
@@ -84,8 +92,8 @@ class CompiledReplay:
         bad = lib.h2v_replay_batch(
             bytes(self.blob), bytes(proof_buf), stride,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            bytes(aux_buf), aux_stride, n, out_scalars, out_points, status,
-            2,
+            bytes(aux_buf), aux_stride, n, wbuf, out_scalars, out_points,
+            status, 2,
         )
         if bad < 0:
             raise RuntimeError("replay VM rejected the program")
@@ -93,8 +101,83 @@ class CompiledReplay:
             raise MalformedProof(
                 [i for i in range(n) if status.raw[i]]
             )
-        sc = out_scalars.raw
-        pt = out_points.raw
+        return out_scalars.raw, out_points.raw
+
+    # ------------------------------------------------- batch-array fast path
+
+    def _entry_plan(self):
+        """Static per-program entry layout: proof-point entries as gather
+        index arrays, vk-constant bases grouped for cross-batch scalar
+        summation (every proof contributes a term on the same base)."""
+        if hasattr(self, "_plan"):
+            return self._plan
+        plan = {}
+        for side in ("left", "right"):
+            entries = getattr(self.program, f"{side}_entries")
+            pt_out, pt_ref = [], []
+            const_groups = {}
+            for out_idx, (kind, ref) in entries:
+                if kind == "pt":
+                    pt_out.append(out_idx)
+                    pt_ref.append(ref)
+                else:
+                    const_groups.setdefault(ref, []).append(out_idx)
+            plan[side] = (
+                np.asarray(pt_out, dtype=np.int64),
+                np.asarray(pt_ref, dtype=np.int64),
+                list(const_groups.items()),
+            )
+        self._plan = plan
+        return plan
+
+    @staticmethod
+    def _col_sum_mod_r(scal16, out_idxs):
+        """Sum the given scalar columns over the whole batch, exactly:
+        u64 limb-wise sums (n * 65535 << 2^64) finished in Python ints."""
+        total = 0
+        for oi in out_idxs:
+            limbs = scal16[:, oi, :].astype(np.uint64).sum(axis=0)
+            v = 0
+            for k in range(15, -1, -1):
+                v = (v << 16) + int(limbs[k])
+            total += v
+        return total % R
+
+    def batch_msm_arrays(self, sc_raw, pt_raw, n):
+        """Raw VM outputs -> per-side canonical limb arrays for the batch
+        accumulator MSMs: {'left'|'right': (S, X, Y)} with S/X/Y
+        (entries, 16) uint32 — scalars already carry the per-proof weights
+        (replay_batch_raw(weights=...)), vk-shared bases pre-summed to one
+        entry each. No per-entry Python big-int work."""
+        scal16 = np.frombuffer(sc_raw, dtype="<u2").reshape(
+            n, self.n_out, 16)
+        pts16 = np.frombuffer(pt_raw, dtype="<u2").reshape(
+            n, max(self.n_points, 1), 32)
+        out = {}
+        for side, (pt_out, pt_ref, const_groups) in \
+                self._entry_plan().items():
+            S = scal16[:, pt_out, :].reshape(-1, 16).astype(np.uint32)
+            X = pts16[:, pt_ref, :16].reshape(-1, 16).astype(np.uint32)
+            Y = pts16[:, pt_ref, 16:].reshape(-1, 16).astype(np.uint32)
+            if const_groups:
+                cs, cx, cy = [], [], []
+                for base, out_idxs in const_groups:
+                    cs.append(self._col_sum_mod_r(scal16, out_idxs))
+                    cx.append(0 if base is None else base[0])
+                    cy.append(0 if base is None else base[1])
+                from ..ops.limbs import ints_to_limbs
+
+                S = np.concatenate([S, ints_to_limbs(cs)])
+                X = np.concatenate([X, ints_to_limbs(cx)])
+                Y = np.concatenate([Y, ints_to_limbs(cy)])
+            out[side] = (S, X, Y)
+        return out
+
+    def replay_batch(self, proofs_and_instances):
+        """[(proof_bytes, instances)] -> list of DualMSM (exact parity with
+        the Python replay's accumulators)."""
+        sc, pt = self.replay_batch_raw(proofs_and_instances)
+        n = len(proofs_and_instances)
         duals = []
         for i in range(n):
             so = i * self.n_out * 32

@@ -341,10 +341,13 @@ struct Program {
   }
 };
 
-// returns 0 ok, 1 invalid
+// returns 0 ok, 1 invalid. weight_mont (optional): all exported scalars
+// are multiplied by it — the AccumulatorStrategy's per-proof random
+// isolation weight (kzg/strategy.rs:129), folded in here so the host never
+// touches per-entry big ints.
 int run_one(const Program& p, const uint8_t* proof, u64 proof_len,
-            const uint8_t* aux, u64* regs, uint8_t* out_scalars,
-            uint8_t* out_points) {
+            const uint8_t* aux, const u64* weight_mont, u64* regs,
+            uint8_t* out_scalars, uint8_t* out_points) {
   Transcript tr;
   tr.init((int)p.hash_kind);
   u64 cursor = 0;
@@ -432,7 +435,13 @@ int run_one(const Program& p, const uint8_t* proof, u64 proof_len,
 done:
   for (uint32_t i = 0; i < p.n_out; ++i) {
     u64 v[4];
-    from_mont(v, regs + 4 * p.out_regs[i], kFr);
+    if (weight_mont) {
+      u64 w[4];
+      mont_mul(w, regs + 4 * p.out_regs[i], weight_mont, kFr);
+      from_mont(v, w, kFr);
+    } else {
+      from_mont(v, regs + 4 * p.out_regs[i], kFr);
+    }
     store_le(out_scalars + 32 * i, v);
   }
   return 0;
@@ -450,9 +459,9 @@ extern "C" {
 int64_t h2v_replay_batch(const uint8_t* program_buf, const uint8_t* proofs,
                          uint64_t proof_stride, const uint64_t* proof_lens,
                          const uint8_t* aux, uint64_t aux_stride,
-                         uint64_t n_proofs, uint8_t* out_scalars,
-                         uint8_t* out_points, uint8_t* status,
-                         int n_threads) {
+                         uint64_t n_proofs, const uint8_t* weights,
+                         uint8_t* out_scalars, uint8_t* out_points,
+                         uint8_t* status, int n_threads) {
   Program p;
   if (!p.parse(program_buf)) return -1;
   if (n_threads < 1) n_threads = 1;
@@ -463,9 +472,17 @@ int64_t h2v_replay_batch(const uint8_t* program_buf, const uint8_t* proofs,
   auto worker = [&](u64 lo, u64 hi) {
     std::vector<u64> regs(4 * (size_t)p.n_regs);
     for (u64 i = lo; i < hi; ++i) {
+      u64 wmont[4];
+      const u64* wp = nullptr;
+      if (weights) {
+        u64 w[4];
+        load_le(w, weights + 32 * i);
+        to_mont(wmont, w, kFr);
+        wp = wmont;
+      }
       status[i] = (uint8_t)run_one(
           p, proofs + i * proof_stride, proof_lens[i], aux + i * aux_stride,
-          regs.data(), out_scalars + i * (u64)p.n_out * 32,
+          wp, regs.data(), out_scalars + i * (u64)p.n_out * 32,
           out_points + i * (u64)p.n_points * 64);
     }
   };

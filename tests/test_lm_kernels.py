@@ -108,3 +108,35 @@ def test_lm_matches_entries_major_layer():
     )
     lm = lf.mont_mul(_lm(a), _lm(b), FQ)
     assert np.array_equal(np.asarray(em).T, np.asarray(lm))
+
+
+def test_carry_prop_exact_vs_fixpoint_oracle():
+    """carry_prop (static passes + Kogge-Stone completion) must equal the
+    fold-to-fixpoint oracle on adversarial ripple chains (rows of 65535
+    with a pending carry propagate the +1 arbitrarily far)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from halo2_verifier_tpu.ops import lmfield as lf
+    from halo2_verifier_tpu.ops.limbs import LIMB_BITS, MASK, NLIMBS
+
+    def oracle(x):
+        x = x.astype(np.uint64)
+        while (x >> LIMB_BITS).any():
+            x = (x & MASK) + np.concatenate(
+                [np.zeros_like(x[:1]), x[:-1] >> LIMB_BITS], axis=0
+            )
+        return x.astype(np.uint32)
+
+    rng = np.random.default_rng(7)
+    for rows in (NLIMBS, NLIMBS + 1, 2 * NLIMBS, 2 * NLIMBS + 1):
+        for trial in range(50):
+            x = rng.integers(0, 1 << 32, size=(rows, 16), dtype=np.uint64)
+            x = x.astype(np.uint32)
+            ripple = rng.random((rows, 16)) < 0.5
+            x[ripple] = 65535
+            x[0][rng.random(16) < 0.5] = 0x2FFFF  # force generate + ripple
+            want = oracle(x)
+            got_s = np.asarray(lf.carry_prop_static(jnp.asarray(x)))
+            got_l = np.asarray(lf.carry_prop_loop(jnp.asarray(x)))
+            assert np.array_equal(got_s, want), ("static", rows, trial)
+            assert np.array_equal(got_l, want), ("loop", rows, trial)
