@@ -21,7 +21,7 @@ import json
 import sys
 import time
 
-BATCH = 256     # proofs per stream batch (one device dispatch + pairing)
+BATCH = 512     # proofs per stream batch (one device dispatch + pairing)
 NUM_BATCHES = 6  # first is compile/fill, the rest are measured
 
 

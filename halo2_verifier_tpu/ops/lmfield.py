@@ -209,6 +209,17 @@ def neg_body(a, spec: FieldSpec):
     return sub_body(jnp.zeros_like(a), a, spec)
 
 
+def carry_fold2(x):
+    """Two shift-fold passes: any u32 columns -> limbs <= 2^16 (pass 1:
+    <= 65535+65535, pass 2: <= 65535+1). NOT fully canonical (a limb may be
+    exactly 65536 = 2^16), but the represented value is unchanged, and
+    products limb * v with v <= 65535 still fit u32 (65536*65535 < 2^32) —
+    sufficient for feeding another convolution."""
+    for _ in range(2):
+        x = (x & MASK) + _shift_rows_down(x >> LIMB_BITS)
+    return x
+
+
 def mont_mul_body(a, b, spec: FieldSpec):
     """Montgomery product a*b*2^-256 mod N on (NLIMBS, B) carried limbs.
 
@@ -216,6 +227,17 @@ def mont_mul_body(a, b, spec: FieldSpec):
     element column updates: each of the 16 partial-product steps is one
     (16, B) multiply against a broadcast limb row plus two shifted column
     adds — every op full-width. Column bound 32*2^16 < 2^21, exact in u32.
+
+    Carry discipline: the t and m intermediates only feed further
+    convolutions, so the cheap 2-pass fold (limbs <= 2^16, see carry_fold2)
+    suffices — products stay in u32 and values mod 2^256 are position-
+    weighted sums, indifferent to the redundancy. Only the final result is
+    fully normalized. For the low half of T + mN (divisible by 2^256): after
+    a 2-pass fold with an overflow row, the 16 low rows hold a value
+    <= 16 * 2^16 * 2^240 < 2^256 + 2^241 that is still divisible by 2^256 —
+    i.e. exactly 0 or exactly 2^256 — so the total carry into the high half
+    is the overflow row plus an any-nonzero test, with no full carry
+    completion.
     """
     nl, _, nv = _SPEC_INTS[id(spec)]
     K = 2 * NLIMBS
@@ -226,7 +248,7 @@ def mont_mul_body(a, b, spec: FieldSpec):
         prod = a * b[j][None]
         cols = cols + _embed_rows(prod & MASK, j, K)
         cols = cols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
-    t = carry_prop(cols)
+    t = carry_fold2(cols)
 
     # m = (T mod 2^256) * N' mod 2^256 — low 16 columns only
     tl = t[:NLIMBS]
@@ -240,9 +262,9 @@ def mont_mul_body(a, b, spec: FieldSpec):
             mcols = mcols + _embed_rows(
                 (prod >> LIMB_BITS)[: NLIMBS - j - 1], j + 1, NLIMBS
             )
-    m = carry_prop(mcols)  # top carries dropped = mod 2^256
+    m = carry_fold2(mcols)  # top carries dropped = mod 2^256
 
-    # T + m*N, low half divisible by 2^256: extract its carry, fold into hi
+    # T + m*N: low half's carry into the high half via the any-nonzero test
     mncols = jnp.zeros((K,) + a.shape[1:], dtype=U32)
     for j in range(NLIMBS):
         if nl[j] == 0:
@@ -250,9 +272,10 @@ def mont_mul_body(a, b, spec: FieldSpec):
         prod = m * jnp.uint32(nl[j])
         mncols = mncols + _embed_rows(prod & MASK, j, K)
         mncols = mncols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
-    total = mncols + t  # t is carried (<2^16): no u32 overflow
-    low = carry_prop(_with_overflow_row(total[:NLIMBS]))
-    hi = _bump_row0(total[NLIMBS:], low[NLIMBS][None])
+    total = mncols + t  # t folded (<= 2^16): no u32 overflow
+    low = carry_fold2(_with_overflow_row(total[:NLIMBS]))
+    carry = low[NLIMBS] + jnp.any(low[:NLIMBS] != 0, axis=0).astype(U32)
+    hi = _bump_row0(total[NLIMBS:], carry[None])
     hi = carry_prop(hi)
     return cond_sub_n(hi, spec)
 
