@@ -242,12 +242,19 @@ def mont_mul_body(a, b, spec: FieldSpec):
     nl, _, nv = _SPEC_INTS[id(spec)]
     K = 2 * NLIMBS
 
-    # T = a*b: 32 columns (i+j <= 30 for lo terms, <= 31 for hi terms)
+    # T = a*b: 32 columns (i+j <= 30 for lo terms, <= 31 for hi terms).
+    # lo and hi halves combine into ONE 17-row slab before embedding, so
+    # each j costs one (17,B) add + one (32,B) add instead of two (32,B)
+    # embed-adds. Slab bound: lo + hi <= 2*65535 per row, x16 terms < 2^21.
     cols = jnp.zeros((K,) + a.shape[1:], dtype=U32)
+    zrow = jnp.zeros((1,) + a.shape[1:], dtype=U32)
     for j in range(NLIMBS):
         prod = a * b[j][None]
-        cols = cols + _embed_rows(prod & MASK, j, K)
-        cols = cols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
+        slab = (
+            jnp.concatenate([prod & MASK, zrow])
+            + jnp.concatenate([zrow, prod >> LIMB_BITS])
+        )
+        cols = cols + _embed_rows(slab, j, K)
     t = carry_fold2(cols)
 
     # m = (T mod 2^256) * N' mod 2^256 — low 16 columns only
@@ -270,8 +277,11 @@ def mont_mul_body(a, b, spec: FieldSpec):
         if nl[j] == 0:
             continue
         prod = m * jnp.uint32(nl[j])
-        mncols = mncols + _embed_rows(prod & MASK, j, K)
-        mncols = mncols + _embed_rows(prod >> LIMB_BITS, j + 1, K)
+        slab = (
+            jnp.concatenate([prod & MASK, zrow])
+            + jnp.concatenate([zrow, prod >> LIMB_BITS])
+        )
+        mncols = mncols + _embed_rows(slab, j, K)
     total = mncols + t  # t folded (<= 2^16): no u32 overflow
     low = carry_fold2(_with_overflow_row(total[:NLIMBS]))
     carry = low[NLIMBS] + jnp.any(low[:NLIMBS] != 0, axis=0).astype(U32)

@@ -48,7 +48,7 @@ def _digits(scalars):
     return jnp.stack(parts, axis=1)
 
 
-def _segmented_inclusive_scan(pts, keys, levels):
+def _segmented_inclusive_scan(pts, keys, levels, ops=None):
     """Hillis-Steele inclusive segmented scan (point add as combine) along
     axis 1 of limbs-major coords. Dynamic roll offset keeps ONE add graph
     compiled for all levels.
@@ -57,6 +57,7 @@ def _segmented_inclusive_scan(pts, keys, levels):
     (non-zero-digit buckets) — the wrapper computes it from the actual keys
     on the host, which typically cuts 17 levels to ~6 for random scalars.
     Zero-digit segments (discarded later) may be left partially summed."""
+    ops = ops or lc.OPS16
     m = keys.shape[0]
     idx = jnp.arange(m)
 
@@ -64,14 +65,15 @@ def _segmented_inclusive_scan(pts, keys, levels):
         offset = jnp.uint32(1) << k
         shifted = tuple(jnp.roll(c, offset, axis=1) for c in pts)
         same = (idx >= offset) & (keys == jnp.roll(keys, offset))
-        return lc.masked_add(pts, shifted, same)
+        return ops.masked_add(pts, shifted, same)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
 
-def _suffix_scan_buckets(pts):
+def _suffix_scan_buckets(pts, ops=None):
     """Inclusive suffix sums along the bucket axis (axis 2) of
     (NLIMBS, W, B) coords."""
+    ops = ops or lc.OPS16
     m = pts[0].shape[2]
     idx = jnp.arange(m)
     levels = max((m - 1).bit_length(), 1)
@@ -80,7 +82,7 @@ def _suffix_scan_buckets(pts):
         offset = jnp.uint32(1) << k
         shifted = tuple(jnp.roll(c, -offset, axis=2) for c in pts)
         valid = jnp.broadcast_to(idx + offset < m, pts[0].shape[1:])
-        return lc.masked_add(pts, shifted, valid)
+        return ops.masked_add(pts, shifted, valid)
 
     return jax.lax.fori_loop(0, levels, body, pts)
 
@@ -221,46 +223,71 @@ def host_plan(scalars_np, groups):
 
 
 def window_totals_presorted_impl(points_x, points_y, idx_sorted,
-                                 keys_sorted, total_windows, levels):
+                                 keys_sorted, total_windows, levels,
+                                 backend="u16"):
     """Device stage of the grouped MSM: gather points in host-sorted bucket
     order, segmented-scan bucket sums, reduce. Returns ONE stacked
-    (3, NLIMBS, total_windows) array (X, Y, Z window totals) so the caller
+    (3, nlimbs, total_windows) array (X, Y, Z window totals) so the caller
     fetches a single buffer.
 
-    points_x/points_y are CANONICAL affine limbs ((0,0) = identity); the
-    Montgomery conversion happens here, after the gather, as two wide
-    device multiplies — the host never touches per-point big ints.
+    points_x/points_y are CANONICAL affine u32 16-bit limbs ((0,0) =
+    identity); the Montgomery conversion happens here, after the gather, as
+    two wide device multiplies — the host never touches per-point big ints.
+
+    backend: "u16" (uint32 16-bit limbs) or "f8" (float32 8-bit limbs — see
+    ops/lmfield8.py; ~an order of magnitude faster on VPUs that emulate
+    32-bit integer multiply). Both compute identical window totals.
 
     total_windows = groups * NUM_WINDOWS; group g's windows occupy columns
     [g*NUM_WINDOWS, (g+1)*NUM_WINDOWS).
     """
+    from . import lmfield8 as l8
+
+    ops = lc.OPS8 if backend == "f8" else lc.OPS16
+    lfm = ops.lfm
     m = idx_sorted.shape[0]
-    r2 = jnp.broadcast_to(FQ.r2_limbs.reshape(NLIMBS, 1), (NLIMBS, m))
-    gx = lf.mont_mul(points_x[idx_sorted].T, r2, FQ)
-    gy = lf.mont_mul(points_y[idx_sorted].T, r2, FQ)
-    pts = lc.from_affine(gx, gy)
+    gx_u = points_x[idx_sorted].T
+    gy_u = points_y[idx_sorted].T
+    if backend == "f8":
+        gx_u = l8.expand16_to8(gx_u)
+        gy_u = l8.expand16_to8(gy_u)
+        r2 = jnp.broadcast_to(
+            jnp.asarray(
+                np.asarray(_spec_r2_f8(), dtype=np.float32
+                           ).reshape(l8.NLIMBS8, 1)
+            ),
+            (l8.NLIMBS8, m),
+        )
+    else:
+        r2 = jnp.broadcast_to(FQ.r2_limbs.reshape(NLIMBS, 1), (NLIMBS, m))
+    # dispatching mont_mul: the fused Pallas kernel on TPU (the plain XLA
+    # body materializes hundreds of intermediates and costs ~10x)
+    gx = lfm.mont_mul(gx_u, r2, FQ)
+    gy = lfm.mont_mul(gy_u, r2, FQ)
+    pts = ops.from_affine(gx, gy)
     zero_digit = (keys_sorted & (NUM_BUCKETS - 1)) == 0
-    pts = lc.select_point(zero_digit, lc.identity(m), pts)
-    summed = _segmented_inclusive_scan(pts, keys_sorted, levels)
+    pts = ops.select_point(zero_digit, ops.identity(m), pts)
+    summed = _segmented_inclusive_scan(pts, keys_sorted, levels, ops)
 
     is_end = jnp.concatenate(
         [keys_sorted[1:] != keys_sorted[:-1], jnp.ones((1,), dtype=bool)]
     )
+    nl = ops.nlimbs
     nslots = total_windows * NUM_BUCKETS + 1
     scatter_idx = jnp.where(is_end, keys_sorted,
                             total_windows * NUM_BUCKETS)
     buckets = tuple(
-        jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+        jnp.zeros((nl, nslots), dtype=c.dtype)
         .at[:, scatter_idx].set(c)
         for c in summed
     )
     buckets = tuple(
-        c[:, :-1].reshape(NLIMBS, total_windows, NUM_BUCKETS)
+        c[:, :-1].reshape(nl, total_windows, NUM_BUCKETS)
         for c in buckets
     )
-    empty = lf.is_zero(buckets[1]) & lf.is_zero(buckets[2])
+    empty = lfm.is_zero(buckets[1]) & lfm.is_zero(buckets[2])
     one = jnp.broadcast_to(
-        lf.mont_one(FQ, 1)[:, :, None], buckets[1].shape
+        lfm.mont_one(FQ, 1)[:, :, None], buckets[1].shape
     )
     buckets = (
         buckets[0],
@@ -268,32 +295,56 @@ def window_totals_presorted_impl(points_x, points_y, idx_sorted,
         buckets[2],
     )
     tail = tuple(c[:, :, 1:] for c in buckets)
-    suffix = _suffix_scan_buckets(tail)
-    totals = _suffix_scan_buckets(suffix)
-    return jnp.stack([c[:, :, 0] for c in totals])  # (3, NLIMBS, TW)
+    suffix = _suffix_scan_buckets(tail, ops)
+    totals = _suffix_scan_buckets(suffix, ops)
+    return jnp.stack([c[:, :, 0] for c in totals])  # (3, nl, TW)
+
+
+def _spec_r2_f8():
+    """FQ's R^2 constant in 8-bit limbs (module-level to stay hashable)."""
+    v = FQ.mont_r2
+    return [float((v >> (8 * i)) & 0xFF) for i in range(32)]
 
 
 _wt_presorted_jit = jax.jit(
     window_totals_presorted_impl,
-    static_argnames=("total_windows", "levels"),
+    static_argnames=("total_windows", "levels", "backend"),
 )
+
+
+def default_backend() -> str:
+    """Limb backend for the grouped MSM. u16 by default: measured on the
+    v5e-class chip, the f8 point-add (4x the vector ops on 2x the rows)
+    runs 2.4x SLOWER than u16 despite f32 multiplies being individually
+    cheaper than the emulated 32-bit integer multiply — the convolution's
+    embed/add traffic dominates. f8 stays available (H2V_LIMB_BACKEND=f8,
+    differential-tested) for hardware where the multiply gap is wider."""
+    import os
+
+    flag = os.environ.get("H2V_LIMB_BACKEND")
+    if flag in ("u16", "f8"):
+        return flag
+    return "u16"
 
 # per-(m, total_windows) high-water mark for the scan depth (see _LEVEL_HWM)
 _PLAN_HWM: dict[tuple, int] = {}
 
 
 def msm_window_totals_grouped(points_x_np, points_y_np, idx_sorted,
-                              keys_sorted, groups: int, levels: int):
+                              keys_sorted, groups: int, levels: int,
+                              backend: str | None = None):
     """Dispatch the grouped MSM (groups = group COUNT); returns the
-    (3, NLIMBS, g*W) device array WITHOUT synchronizing. Inputs are host
+    (3, nlimbs, g*W) device array WITHOUT synchronizing. Inputs are host
     numpy (uploaded here, once)."""
-    key = (idx_sorted.shape[0], groups)
+    backend = backend or default_backend()
+    key = (idx_sorted.shape[0], groups, backend)
     levels = max(levels, _PLAN_HWM.get(key, 0))
     _PLAN_HWM[key] = levels
     return _wt_presorted_jit(
         jnp.asarray(points_x_np), jnp.asarray(points_y_np),
         jnp.asarray(idx_sorted), jnp.asarray(keys_sorted),
         total_windows=groups * NUM_WINDOWS, levels=levels,
+        backend=backend,
     )
 
 

@@ -77,19 +77,21 @@ _SHARDED_PRESORTED_CACHE: dict = {}
 
 def sharded_window_totals_presorted(mesh: Mesh, xs, ys, idx_sorted,
                                     keys_sorted, total_windows: int,
-                                    levels: int):
+                                    levels: int,
+                                    backend: str | None = None):
     """Sharded grouped MSM: host-sorted (idx, key) entries shard across the
     'points' axis; points replicate (the whole table is KBs). Bucket sums
     are linear, so a segment split across a device boundary contributes two
     partial sums whose window totals add up exactly. Returns a
     (D, 3, NLIMBS, total_windows) device array without synchronizing."""
+    backend = backend or msm_jax.default_backend()
     cache_key = (mesh, total_windows, levels,
-                 idx_sorted.shape[0], xs.shape[0])
+                 idx_sorted.shape[0], xs.shape[0], backend)
     fn = _SHARDED_PRESORTED_CACHE.get(cache_key)
     if fn is None:
         def body(xs, ys, idx, keys):
             wt = msm_jax.window_totals_presorted_impl(
-                xs, ys, idx, keys, total_windows, levels
+                xs, ys, idx, keys, total_windows, levels, backend
             )
             return wt[None]
 
