@@ -7,8 +7,33 @@ the (test-only) prover's quotient computation.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from ..ops.constants import FR_ROOT_OF_UNITY, FR_S, FR_ZETA, R
 from ..ops.hostfield import batch_invert, inv
+
+
+@dataclass(frozen=True)
+class Rotation:
+    """A query rotation relative to the current row (poly/mod.rs:125-142).
+    Protocol internals use bare ints; this type is the public API form."""
+
+    value: int = 0
+
+    @classmethod
+    def cur(cls) -> "Rotation":
+        return cls(0)
+
+    @classmethod
+    def prev(cls) -> "Rotation":
+        return cls(-1)
+
+    @classmethod
+    def next(cls) -> "Rotation":
+        return cls(1)
+
+    def __int__(self) -> int:
+        return self.value
 
 
 class EvaluationDomain:

@@ -138,9 +138,11 @@ class SingleStrategy:
         self.params = params
 
     def process(self, f) -> None:
-        guard = f(DualMSM(self.params))
-        if not guard.check():
-            raise VerifyFailure("constraint system failure")
+        guard = GuardKZG(f(DualMSM(self.params)))
+        if not guard.verify():
+            raise ConstraintSystemFailure(
+                "constraint system failure (kzg/strategy.rs:164-177)"
+            )
 
     def finalize(self) -> bool:  # pragma: no cover - parity only
         raise RuntimeError("SingleStrategy has no finalize")
@@ -164,5 +166,65 @@ class AccumulatorStrategy:
         return self.msm_accumulator.check()
 
 
+@dataclass
+class Blind:
+    """Commitment blinding factor wrapper (poly/commitment.rs:121-174).
+    The verifier never blinds, but the type completes the commitment-
+    scheme API surface (used by the test prover)."""
+
+    value: int = 1
+
+    def __add__(self, other):
+        return Blind((self.value + _blind_val(other)) % R)
+
+    def __mul__(self, other):
+        return Blind(self.value * _blind_val(other) % R)
+
+    __radd__ = __add__
+    __rmul__ = __mul__
+
+
+def _blind_val(x):
+    return x.value if isinstance(x, Blind) else x % R
+
+
+class GuardKZG:
+    """An unfinished verification: wraps the DualMSM whose pairing check
+    certifies the proof (kzg/strategy.rs:23-51). `use_challenges` yields
+    the accumulator for deferred batching; `verify` runs the pairing now."""
+
+    def __init__(self, msm_accumulator: DualMSM):
+        self.msm_accumulator = msm_accumulator
+
+    def use_challenges(self) -> DualMSM:
+        return self.msm_accumulator
+
+    def verify(self, msm_eval=None) -> bool:
+        return self.msm_accumulator.check(msm_eval)
+
+
 class VerifyFailure(Exception):
-    """Raised when a proof does not verify (plonk/mod.rs Error)."""
+    """Raised when a proof does not verify (plonk/mod.rs Error base)."""
+
+
+class ConstraintSystemFailure(VerifyFailure):
+    """The pairing/constraint check failed (Error::ConstraintSystemFailure,
+    plonk/mod.rs:19-32)."""
+
+
+class OpeningError(VerifyFailure):
+    """Multiopen argument malformed (Error::Opening)."""
+
+
+class TranscriptError(VerifyFailure):
+    """Proof stream malformed: bad point/scalar encoding or truncation
+    (Error::Transcript)."""
+
+
+class BoundsFailure(VerifyFailure):
+    """An index exceeded the circuit's bounds (Error::BoundsFailure)."""
+
+
+class InstanceTooLarge(VerifyFailure):
+    """Instance column longer than the usable row count
+    (Error::InstanceTooLarge)."""
