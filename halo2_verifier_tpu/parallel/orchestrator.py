@@ -67,6 +67,9 @@ class BatchVerifier:
         self.mesh = mesh
         self._rng = rng or (lambda: 1 + secrets.randbelow(R - 1))
         self.timings = StageTimings()
+        # cumulative MSM work counter (for points/s metrics): entries
+        # actually dispatched to the device, including shape padding
+        self.msm_entries_dispatched = 0
 
     # ------------------------------------------------------------ replay
     def replay(self, proofs_and_instances):
@@ -222,6 +225,7 @@ class BatchVerifier:
     def _dispatch_limbs(self, s_np, x_np, y_np, sizes):
         """Dispatch the grouped MSM from canonical limb arrays (scalars and
         affine coords, concatenated per group). Returns the async handle."""
+        self.msm_entries_dispatched += s_np.shape[0]
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted

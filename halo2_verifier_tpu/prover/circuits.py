@@ -85,6 +85,75 @@ def lookup_spec(k: int, table_values, lookups_rows: int):
     return spec, make_assignment, a
 
 
+def mac_range_spec(k: int, rows: int, n_pub: int):
+    """The k=14-class benchmark workload (BASELINE config 2): a
+    range-checked multiply-accumulate chain combining every argument kind
+    the single-proof verifier exercises — a custom gate with a next-row
+    rotation, a dedicated lookup argument (8-bit range table with its own
+    gating selectors), copy constraints through the permutation argument,
+    and an instance column of accumulator checkpoints.
+
+    Layout: rows [0, rows): s_mac=1 gates acc[r+1] = acc[r] + a[r]*b[r];
+    q_in=1 range-checks a[r] against the fixed 8-bit table t (rows 0..255,
+    gated by q_t). n_pub accumulator checkpoints (every rows//n_pub-th acc
+    cell) are copied into the instance column.
+    """
+    spec = CircuitSpec(k)
+    a = spec.advice_column()
+    b = spec.advice_column()
+    acc = spec.advice_column()
+    inst = spec.instance_column()
+    s_mac = spec.fixed_column()
+    q_in = spec.fixed_column()
+    q_t = spec.fixed_column()
+    t = spec.fixed_column()
+    spec.enable_equality(acc)
+    spec.enable_equality(inst)
+
+    a_e = spec.query(a, 0)
+    b_e = spec.query(b, 0)
+    acc_e = spec.query(acc, 0)
+    acc_n = spec.query(acc, 1)  # next-row rotation: advice opened at ωx too
+    spec.gate(spec.query(s_mac, 0) * (acc_e + a_e * b_e - acc_n))
+    spec.lookup([spec.query(q_in, 0) * a_e],
+                [spec.query(q_t, 0) * spec.query(t, 0)])
+
+    for i in range(256):
+        spec.assign_fixed(t, i, i)
+        spec.assign_fixed(q_t, i, 1)
+    for r in range(rows):
+        spec.assign_fixed(s_mac, r, 1)
+        spec.assign_fixed(q_in, r, 1)
+    step = rows // n_pub
+    pub_rows = [(i + 1) * step for i in range(n_pub)]
+    for i, r in enumerate(pub_rows):
+        spec.copy(acc, r, inst, i)
+
+    def make_assignment(seed: int):
+        """Deterministic witness from an integer seed; instance values are
+        recomputable without proving (fixture packs store only proof
+        bytes)."""
+        import random
+
+        rng = random.Random(seed)
+        asg = Assignment(spec)
+        acc_v = 0
+        acc_col = [0] * (rows + 1)
+        for r in range(rows):
+            av = rng.getrandbits(8)
+            bv = rng.getrandbits(64)
+            asg.set_advice(a, r, av)
+            asg.set_advice(b, r, bv)
+            asg.set_advice(acc, r, acc_v)
+            acc_v = (acc_v + av * bv) % R
+            acc_col[r + 1] = acc_v
+        asg.set_advice(acc, rows, acc_v)
+        asg.instance = [[acc_col[r] for r in pub_rows]]
+        return asg
+
+    return spec, make_assignment
+
+
 def shuffle_spec(k: int, width: int, rows: int):
     """Two-phase shuffle circuit in the spirit of tests/shuffle.rs: phase-0
     original columns, phase-1 shuffled columns, an in-circuit challenge, and

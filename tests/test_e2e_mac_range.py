@@ -1,0 +1,77 @@
+"""E2E coverage for the mac_range circuit — the bench's k=14-class
+workload (BASELINE config 2: lookups + permutations + a rotation gate +
+instance column in one circuit), exercised here at small k so the suite
+stays fast. The k=14 instantiation differs only in domain size (the
+verifier's work is row-count-independent apart from x^n)."""
+
+import pytest
+
+from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+from halo2_verifier_tpu.prover.circuits import mac_range_spec
+from halo2_verifier_tpu.prover.keygen import keygen
+from halo2_verifier_tpu.prover.prove import create_proof
+from halo2_verifier_tpu.prover.srs import load_srs
+from halo2_verifier_tpu.protocol.verifier import verify_proof_single
+from halo2_verifier_tpu.transcript import TRANSCRIPT_WRITERS
+
+
+K, ROWS, N_PUB = 9, 300, 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    srs = load_srs(K)
+    spec, mk = mac_range_spec(K, ROWS, N_PUB)
+    pk = keygen(spec, srs)
+    return srs.verifier_params(), pk, mk
+
+
+def _prove(pk, asg, hash_name="blake2b", **kw):
+    return create_proof(pk, [asg], TRANSCRIPT_WRITERS[hash_name](), **kw)
+
+
+def test_verifies_and_rejects_tampered_instance(setup):
+    params, pk, mk = setup
+    asg = mk(0)
+    proof = _prove(pk, asg)
+    assert verify_proof_single(params, pk.vk, proof, [asg.instance])
+    bad = [list(c) for c in asg.instance]
+    bad[0][0] = (bad[0][0] + 1) % (1 << 64)
+    assert not verify_proof_single(params, pk.vk, proof, [bad])
+
+
+def test_verifies_gwc_keccak(setup):
+    params, pk, mk = setup
+    asg = mk(1)
+    proof = _prove(pk, asg, hash_name="keccak256", multiopen="gwc")
+    assert verify_proof_single(params, pk.vk, proof, [asg.instance],
+                               multiopen="gwc", hash_name="keccak256")
+
+
+def test_out_of_range_witness_rejected(setup):
+    """A 9-bit value in the range-checked column must make the prover's
+    lookup-product telescoping check fail."""
+    params, pk, mk = setup
+    asg = mk(2)
+    a_col = 0
+    asg.advice[a_col][5] = 256  # outside the 8-bit table
+    with pytest.raises(AssertionError):
+        _prove(pk, asg)
+
+
+def test_batch_stream_and_localization(setup):
+    params, pk, mk = setup
+    batch = []
+    for i in range(6):
+        asg = mk(10 + i)
+        batch.append((_prove(pk, asg, seed=str(i).encode()), asg.instance))
+    bv = BatchVerifier(params, pk.vk)
+    results = list(bv.verify_stream(iter([batch, batch]), localize=True))
+    assert [(r.ok, r.num_proofs) for r in results] == [(True, 6), (True, 6)]
+    # corrupt one proof body; the batch must fail with that index localized
+    p, inst = batch[2]
+    bad = list(batch)
+    bad[2] = (p[:64] + bytes([p[64] ^ 1]) + p[65:], inst)
+    r = bv.verify(bad)
+    assert not r.ok
+    assert r.failed_indices == [2]
