@@ -1,0 +1,100 @@
+"""Scaling-efficiency sweep for the sharded MSM (BASELINE.md metric 3:
+>=80% efficiency 1 -> 16 chips).
+
+Times the grouped presorted MSM at a fixed per-batch workload while the
+device count doubles: efficiency(D) = T(1) / (D * T(D)) for fixed TOTAL
+work (strong scaling). Only per-chip window totals (KBs) cross chips, so
+efficiency tracks per-chip Pippenger runtime.
+
+On real multi-chip hardware this produces the reportable curve. On this
+box (one tunneled chip) it runs on a virtual CPU mesh — methodology
+identical, absolute numbers meaningless; pass --devices to size the mesh.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python benchmarks/scaling_sweep.py --entries 7424
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entries", type=int, default=7424,
+                    help="MSM entries per batch (both groups combined)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="max devices (0 = all available)")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from halo2_verifier_tpu.ops import hostcurve as hc
+    from halo2_verifier_tpu.ops import msm_jax
+    from halo2_verifier_tpu.ops.constants import G1_GEN, R
+    from halo2_verifier_tpu.ops.limbs import ints_to_limbs
+    from halo2_verifier_tpu.parallel import mesh as pmesh
+
+    ndev_max = args.devices or len(jax.devices())
+    total = args.entries
+    rng = np.random.RandomState(5)
+    npts = 256
+    pts = [hc.g1_mul(G1_GEN, 3 + i) for i in range(npts)]
+    xs = np.asarray(ints_to_limbs([pts[i % npts][0] for i in range(total)]))
+    ys = np.asarray(ints_to_limbs([pts[i % npts][1] for i in range(total)]))
+    ss = np.asarray(ints_to_limbs(
+        [int.from_bytes(rng.bytes(32), "little") % R for _ in range(total)]
+    ))
+    half = total // 2
+    idx_sorted, keys_sorted, levels = msm_jax.host_plan(ss, [half,
+                                                            total - half])
+    tw = 2 * msm_jax.NUM_WINDOWS
+
+    results = {}
+    d = 1
+    while d <= ndev_max:
+        mesh = pmesh.make_mesh(d)
+        m = idx_sorted.shape[0]
+        rem = (-m) % d
+        idx = np.concatenate([idx_sorted,
+                              np.full(rem, total - 1, idx_sorted.dtype)])
+        keys = np.concatenate([keys_sorted,
+                               np.full(rem, keys_sorted[-1],
+                                       keys_sorted.dtype)])
+        xs_j, ys_j = np.asarray(xs), np.asarray(ys)
+        # compile + warm
+        arr = pmesh.sharded_window_totals_presorted(
+            mesh, xs_j, ys_j, idx, keys, total_windows=tw, levels=levels)
+        arr.block_until_ready()
+        t0 = time.time()
+        for _ in range(args.reps):
+            arr = pmesh.sharded_window_totals_presorted(
+                mesh, xs_j, ys_j, idx, keys, total_windows=tw,
+                levels=levels)
+            arr.block_until_ready()
+        dt = (time.time() - t0) / args.reps
+        results[d] = dt
+        print(f"D={d}: {dt*1e3:.1f} ms/batch", flush=True)
+        d *= 2
+
+    t1 = results[1]
+    out = {
+        "entries": total,
+        "levels": levels,
+        "times_ms": {str(d): round(t * 1e3, 2) for d, t in results.items()},
+        "efficiency": {
+            str(d): round(t1 / (d * t), 4) for d, t in results.items()
+        },
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

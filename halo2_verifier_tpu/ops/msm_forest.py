@@ -1,0 +1,241 @@
+"""Host-planned addition-forest Pippenger MSM — the grouped batch MSM's
+fast path.
+
+The segmented-scan formulation (ops/msm_jax.py) performs ~levels x M point
+adds for M sorted (point, window) entries: every Hillis-Steele step adds
+ALL M positions even though only the segment-interior ones combine. Since
+the HOST already knows every entry's bucket key (the scalars arrive with
+the proof bytes, never from device results), it can plan the entire
+reduction as an explicit ADDITION FOREST instead:
+
+  level l: frontier_{l+1}[i] = frontier_l[iL[i]] + frontier_l[iR[i]]
+
+with per-level gather-index arrays built in numpy. Pairing entries within
+each equal-key run halves every run per level, so the frontier width
+shrinks geometrically and the total device work is ~M point adds — levels x
+fewer than the scan — all of them UNMASKED fused Pallas adds on
+lane-contiguous arrays. Identity-slot padding (the complete RCB15 add
+absorbs identities) quantizes widths into a few compiled shape classes.
+
+The bucket reduction replaces the two suffix scans (summation by parts,
+arithmetic.rs:86-94) with a bit decomposition: for window total
+sum_k k*B_k, split k into bits — sum_k k*B_k = sum_b 2^b * S_b where
+S_b = sum of buckets whose digit has bit b set. Each S_b is a 7-level
+binary-tree reduction over a statically-gathered 128-bucket plane, and the
+2^b weighting is a 7-step double-and-add Horner over 8 lanes per window —
+~W*8*127 adds instead of ~W*2*256*log(256).
+
+Output format matches msm_jax.msm_window_totals_grouped: one stacked
+(3, NLIMBS, groups*NUM_WINDOWS) Montgomery projective window-totals array,
+combined on host by msm_jax.combine_window_totals_grouped.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lmcurve as lc
+from . import lmfield as lf
+from .field_jax import FQ
+from .limbs import LIMB_BITS, NLIMBS
+from .msm_jax import NUM_BUCKETS, NUM_WINDOWS, WINDOW_BITS
+
+def _quant(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def host_plan(scalars_np, groups, quant: int | None = None):
+    """Plan the whole forest on host numpy.
+
+    scalars_np: (total, NLIMBS) uint32 canonical scalar limbs, groups
+    concatenated; `groups` is an int (equal sizes) or per-group sizes.
+    Returns a dict consumed by dispatch_planned. Zero digits are dropped
+    here (they contribute nothing), so the device never sees them.
+    """
+    total = scalars_np.shape[0]
+    if quant is None:
+        # small problems quantize finer so level shapes stay tiny; large
+        # ones coarser so shape classes (= compile variants) stay few
+        quant = 8192 if total * NUM_WINDOWS >= 65536 else 256
+    if isinstance(groups, int):
+        assert total % groups == 0
+        sizes = [total // groups] * groups
+    else:
+        sizes = list(groups)
+        assert sum(sizes) == total
+    per_limb = LIMB_BITS // WINDOW_BITS
+    digit_cols = []
+    for w in range(NUM_WINDOWS):
+        limb = w // per_limb
+        shift = WINDOW_BITS * (w % per_limb)
+        digit_cols.append(
+            (scalars_np[:, limb] >> shift) & np.uint32(NUM_BUCKETS - 1)
+        )
+    digits = np.stack(digit_cols, axis=1)  # (total, W)
+    group_id = np.repeat(
+        np.arange(len(sizes), dtype=np.uint32), sizes
+    )[:, None]
+    win = np.arange(NUM_WINDOWS, dtype=np.uint32)[None, :]
+    keys = (
+        group_id * np.uint32(NUM_WINDOWS * NUM_BUCKETS)
+        + win * np.uint32(NUM_BUCKETS)
+        + digits
+    ).reshape(-1)
+    point_idx = np.broadcast_to(
+        np.arange(total, dtype=np.int32)[:, None], digits.shape
+    ).reshape(-1)
+    nz = (keys & np.uint32(NUM_BUCKETS - 1)) != 0
+    keys = keys[nz]
+    point_idx = point_idx[nz]
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    idx0 = point_idx[order]
+
+    # identity lane: unique points pad to a 1024 multiple with >= 1 zero
+    # lane; canonical (0,0) converts/maps to the projective identity
+    n_pad = _quant(total + 1, 1024)
+    id_idx = n_pad - 1
+
+    w_real = idx0.shape[0]
+    w_pad = _quant(w_real + 1, quant)
+    point_idx0 = np.full(w_pad, id_idx, dtype=np.int32)
+    point_idx0[:w_real] = idx0
+
+    levels = []
+    cur_keys = keys
+    prev_pad = w_pad
+    while cur_keys.shape[0]:
+        wl = cur_keys.shape[0]
+        starts = np.empty(wl, dtype=bool)
+        starts[0] = True
+        np.not_equal(cur_keys[1:], cur_keys[:-1], out=starts[1:])
+        if starts.all():
+            break  # every bucket reduced to one entry
+        seg_start_pos = np.flatnonzero(starts)
+        seg_id = np.cumsum(starts) - 1
+        rank = np.arange(wl) - seg_start_pos[seg_id]
+        even = (rank & 1) == 0
+        has_partner = np.zeros(wl, dtype=bool)
+        has_partner[:-1] = even[:-1] & (cur_keys[1:] == cur_keys[:-1])
+        out_pos = np.flatnonzero(even)
+        id_slot = prev_pad - 1  # inductively identity (pads add identities)
+        # width floor: deep (narrow) levels share one compiled add variant
+        # instead of one per shrinking width — identity-pad compute there
+        # is cheap, Mosaic kernel compiles are ~20 s each
+        floor = 16384 if quant == 8192 else quant
+        out_pad = max(_quant(out_pos.shape[0] + 1, quant), floor)
+        iL = np.full(out_pad, id_slot, dtype=np.int32)
+        iR = np.full(out_pad, id_slot, dtype=np.int32)
+        iL[:out_pos.shape[0]] = out_pos
+        iR[:out_pos.shape[0]] = np.where(
+            has_partner[out_pos], out_pos + 1, id_slot
+        )
+        levels.append((iL, iR))
+        cur_keys = cur_keys[out_pos]
+        prev_pad = out_pad
+
+    tw = len(sizes) * NUM_WINDOWS
+    dump = tw * NUM_BUCKETS
+    scatter_idx = np.full(prev_pad, dump, dtype=np.int32)
+    scatter_idx[:cur_keys.shape[0]] = cur_keys.astype(np.int32)
+    return {
+        "point_idx0": point_idx0,
+        "levels": levels,
+        "scatter_idx": scatter_idx,
+        "tw": tw,
+        "n_pad": n_pad,
+        "entries": w_real,
+        "adds": sum(l[0].shape[0] for l in levels),
+    }
+
+
+@jax.jit
+def _convert_points(xs, ys):
+    """(NLIMBS, n_pad) canonical affine limbs -> projective Montgomery
+    frontier source; (0,0) lanes (incl. the identity pad) -> identity."""
+    b = xs.shape[1]
+    r2 = jnp.broadcast_to(FQ.r2_limbs.reshape(NLIMBS, 1), (NLIMBS, b))
+    gx = lf.mont_mul(xs, r2, FQ)
+    gy = lf.mont_mul(ys, r2, FQ)
+    return lc.from_affine(gx, gy)
+
+
+@jax.jit
+def _gather0(src, idx0):
+    return tuple(c[:, idx0] for c in src)
+
+
+@jax.jit
+def _level_add(f, iL, iR):
+    a = tuple(c[:, iL] for c in f)
+    b = tuple(c[:, iR] for c in f)
+    return lc.OPS16.add(a, b)
+
+
+@partial(jax.jit, static_argnames=("tw",))
+def _bucket_phase(f, scatter_idx, tw):
+    """Scatter the reduced frontier into the bucket grid, then window
+    totals by summation-by-parts (two log-depth suffix scans over the
+    bucket axis, fori_loop-shared add graph — msm_jax._suffix_scan_buckets;
+    arithmetic.rs:86-94). An unrolled per-bit tree reduction does ~3x fewer
+    point adds but XLA-compiles for minutes (every add inlines the full
+    mont-mul dataflow); the fori_loop scan compiles once and the bucket
+    phase is <15% of the MSM anyway."""
+    from .msm_jax import _suffix_scan_buckets
+
+    nslots = tw * NUM_BUCKETS + 1
+    grid = tuple(
+        jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+        .at[:, scatter_idx].set(c)
+        for c in f
+    )
+    grid = tuple(
+        c[:, :-1].reshape(NLIMBS, tw, NUM_BUCKETS) for c in grid
+    )
+    # empty buckets scatter as all-zero, which the complete add would
+    # absorb; patch Y to Montgomery one => (0:1:0) identity
+    empty = lf.is_zero(grid[1]) & lf.is_zero(grid[2])
+    one = jnp.broadcast_to(
+        lf.mont_one(FQ, 1)[:, :, None], grid[1].shape
+    )
+    grid = (grid[0], jnp.where(empty[None], one, grid[1]), grid[2])
+
+    tail = tuple(c[:, :, 1:] for c in grid)
+    suffix = _suffix_scan_buckets(tail)
+    totals = _suffix_scan_buckets(suffix)
+    return jnp.stack([c[:, :, 0] for c in totals])  # (3, NLIMBS, tw)
+
+
+def dispatch_planned(x_np, y_np, plan):
+    """Device stage: upload + run the planned forest; returns the
+    (3, NLIMBS, tw) window-totals device array WITHOUT synchronizing.
+
+    x_np/y_np: (total, NLIMBS) uint32 CANONICAL affine limbs ((0,0) =
+    identity), as the orchestrator assembles them.
+    """
+    n_pad = plan["n_pad"]
+    total = x_np.shape[0]
+    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    xs[:, :total] = x_np.T
+    ys[:, :total] = y_np.T
+    src = _convert_points(jnp.asarray(xs), jnp.asarray(ys))
+    f = _gather0(src, jnp.asarray(plan["point_idx0"]))
+    for iL, iR in plan["levels"]:
+        f = _level_add(f, jnp.asarray(iL), jnp.asarray(iR))
+    return _bucket_phase(f, jnp.asarray(plan["scatter_idx"]),
+                         tw=plan["tw"])
+
+
+def msm_grouped(scalars_np, x_np, y_np, sizes):
+    """Convenience wrapper: full grouped MSM via the forest path; returns
+    a list of per-group affine points ((x, y) ints or None). Synchronizes."""
+    from .msm_jax import combine_window_totals_grouped
+
+    plan = host_plan(scalars_np, sizes)
+    arr = dispatch_planned(x_np, y_np, plan)
+    return combine_window_totals_grouped(arr, len(sizes))

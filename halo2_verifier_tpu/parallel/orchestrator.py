@@ -224,8 +224,22 @@ class BatchVerifier:
 
     def _dispatch_limbs(self, s_np, x_np, y_np, sizes):
         """Dispatch the grouped MSM from canonical limb arrays (scalars and
-        affine coords, concatenated per group). Returns the async handle."""
+        affine coords, concatenated per group). Returns the async handle.
+
+        Single-chip dispatch uses the host-planned addition-forest MSM
+        (ops/msm_forest.py, ~levels-x fewer point adds than the segmented
+        scan); H2V_MSM=scan reverts to the scan path. The mesh-sharded
+        path stays on the presorted scan (its per-chip slices re-plan
+        locally)."""
+        import os
+
         self.msm_entries_dispatched += s_np.shape[0]
+        if self.mesh is None and os.environ.get("H2V_MSM", "forest") == "forest":
+            from ..ops import msm_forest
+
+            plan = msm_forest.host_plan(s_np, sizes)
+            arr = msm_forest.dispatch_planned(x_np, y_np, plan)
+            return ("grouped", arr)
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted

@@ -1,0 +1,70 @@
+"""Differential tests for the host-planned addition-forest MSM
+(ops/msm_forest.py) against the exact host oracle, covering the edge cases
+the complete-add execution model must absorb: identities, duplicate bases,
+zero scalars, worst-case equal-digit runs, and uneven group sizes."""
+
+import numpy as np
+import pytest
+
+from halo2_verifier_tpu.ops import hostcurve as hc
+from halo2_verifier_tpu.ops import msm_forest
+from halo2_verifier_tpu.ops.constants import G1_GEN, R
+from halo2_verifier_tpu.ops.limbs import ints_to_limbs
+
+
+def _check(scalars, pts, sizes):
+    xs = [0 if p is None else p[0] for p in pts]
+    ys = [0 if p is None else p[1] for p in pts]
+    got = msm_forest.msm_grouped(
+        ints_to_limbs([s % R for s in scalars]),
+        ints_to_limbs(xs), ints_to_limbs(ys), sizes,
+    )
+    off = 0
+    want = []
+    for sz in sizes:
+        want.append(hc.g1_msm(scalars[off:off + sz], pts[off:off + sz]))
+        off += sz
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def pts20():
+    return [hc.g1_mul(G1_GEN, 3 + i) for i in range(20)]
+
+
+def test_random_two_groups(pts20):
+    rng = np.random.RandomState(3)
+    sc = [int.from_bytes(rng.bytes(32), "little") % R for _ in range(20)]
+    _check(sc, pts20, [8, 12])
+
+
+def test_zeros_identities_duplicates(pts20):
+    _check([0] * 6 + [5] * 4 + [R - 1] * 10,
+           [None] * 3 + pts20[:17], [10, 10])
+
+
+def test_equal_scalars_worst_depth(pts20):
+    # every window's entries land in one bucket: deepest possible forest
+    _check([7] * 20, [pts20[0]] * 20, [20])
+
+
+def test_single_entry(pts20):
+    _check([1], [pts20[4]], [1])
+
+
+def test_plan_shape_invariants():
+    rng = np.random.RandomState(11)
+    sc = ints_to_limbs(
+        [int.from_bytes(rng.bytes(32), "little") % R for _ in range(24)]
+    )
+    plan = msm_forest.host_plan(sc, [12, 12])
+    # zero digits dropped: fewer window-entries than 24 * NUM_WINDOWS
+    assert plan["entries"] <= 24 * msm_forest.NUM_WINDOWS
+    # total adds ~ entries + per-level identity padding (the whole point
+    # of the forest: ~M adds, not levels x M as in the segmented scan)
+    quant = 256  # small-problem quantum (host_plan picks it for this size)
+    pad_bound = (len(plan["levels"]) + 1) * quant
+    assert plan["adds"] <= plan["entries"] + pad_bound
+    # identity-slot padding present at every level
+    for iL, iR in plan["levels"]:
+        assert iL.shape == iR.shape
