@@ -129,6 +129,8 @@ def load():
         ctypes.c_char_p,                     # out_points
         ctypes.c_char_p,                     # status
         ctypes.c_int,                        # n_threads
+        ctypes.c_char_p,                     # ext_y (or None): device-
+                                             # decompressed principal roots
     ]
     lib.h2v_replay_batch.restype = ctypes.c_int64
     _lib = lib

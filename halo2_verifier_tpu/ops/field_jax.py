@@ -47,6 +47,15 @@ class FieldSpec:
         self.inv_exp_bits = jnp.asarray(
             [(e >> i) & 1 for i in range(256)], dtype=U32
         )
+        # sqrt exponent (q+1)/4 for q = 3 mod 4 (BN254 Fq): the principal
+        # root of a QR; used by the device G1-decompression pre-pass
+        if modulus % 4 == 3:
+            s = (modulus + 1) // 4
+            self.sqrt_exp_bits = jnp.asarray(
+                [(s >> i) & 1 for i in range(256)], dtype=U32
+            )
+        else:
+            self.sqrt_exp_bits = None
 
 
 FQ = FieldSpec(P)

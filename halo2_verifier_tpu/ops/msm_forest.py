@@ -59,8 +59,10 @@ def host_plan(scalars_np, groups, quant: int | None = None):
     total = scalars_np.shape[0]
     if quant is None:
         # small problems quantize finer so level shapes stay tiny; large
-        # ones coarser so shape classes (= compile variants) stay few
-        quant = 8192 if total * NUM_WINDOWS >= 65536 else 256
+        # ones coarser so shape classes (= compile variants) stay few.
+        # 4096 keeps batch-to-batch width jitter (~sqrt(entries) per
+        # level) inside one class while wasting <6% at bench shapes
+        quant = 4096 if total * NUM_WINDOWS >= 65536 else 256
     if isinstance(groups, int):
         assert total % groups == 0
         sizes = [total // groups] * groups
@@ -105,7 +107,14 @@ def host_plan(scalars_np, groups, quant: int | None = None):
     point_idx0 = np.full(w_pad, id_idx, dtype=np.int32)
     point_idx0[:w_real] = idx0
 
-    levels = []
+    # Each level: (a) buckets already reduced to ONE entry leave the
+    # frontier — they are finalized by a gather from THIS level's frontier
+    # at scatter time, so they stop costing pass-through adds (without
+    # removal, ~tw*NUM_BUCKETS singletons ride every remaining level:
+    # ~45% of all adds at bench shapes); (b) remaining equal-key runs
+    # pair up and halve. Total device adds = entries - buckets + padding.
+    levels = []      # per level: (iL, iR) gather pairs into next frontier
+    finished = []    # per level: (pos_in_frontier, keys) finalized there
     cur_keys = keys
     prev_pad = w_pad
     while cur_keys.shape[0]:
@@ -113,39 +122,67 @@ def host_plan(scalars_np, groups, quant: int | None = None):
         starts = np.empty(wl, dtype=bool)
         starts[0] = True
         np.not_equal(cur_keys[1:], cur_keys[:-1], out=starts[1:])
-        if starts.all():
-            break  # every bucket reduced to one entry
         seg_start_pos = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(seg_start_pos, wl))
         seg_id = np.cumsum(starts) - 1
-        rank = np.arange(wl) - seg_start_pos[seg_id]
-        even = (rank & 1) == 0
-        has_partner = np.zeros(wl, dtype=bool)
-        has_partner[:-1] = even[:-1] & (cur_keys[1:] == cur_keys[:-1])
-        out_pos = np.flatnonzero(even)
+        single = seg_len[seg_id] == 1
+        fin_pos = np.flatnonzero(single)
         id_slot = prev_pad - 1  # inductively identity (pads add identities)
+        if fin_pos.shape[0]:
+            finished.append((len(levels), fin_pos.astype(np.int32),
+                             cur_keys[fin_pos].astype(np.int32), id_slot))
+        act_pos = np.flatnonzero(~single)
+        if not act_pos.shape[0]:
+            break
+        act_keys = cur_keys[act_pos]
+        wa = act_keys.shape[0]
+        starts2 = np.empty(wa, dtype=bool)
+        starts2[0] = True
+        np.not_equal(act_keys[1:], act_keys[:-1], out=starts2[1:])
+        seg_start2 = np.flatnonzero(starts2)
+        seg_id2 = np.cumsum(starts2) - 1
+        rank2 = np.arange(wa) - seg_start2[seg_id2]
+        even = (rank2 & 1) == 0
+        has_partner = np.zeros(wa, dtype=bool)
+        has_partner[:-1] = even[:-1] & (act_keys[1:] == act_keys[:-1])
+        out_pos = np.flatnonzero(even)
         # width floor: deep (narrow) levels share one compiled add variant
         # instead of one per shrinking width — identity-pad compute there
         # is cheap, Mosaic kernel compiles are ~20 s each
-        floor = 16384 if quant == 8192 else quant
+        floor = min(quant, 2048)
         out_pad = max(_quant(out_pos.shape[0] + 1, quant), floor)
         iL = np.full(out_pad, id_slot, dtype=np.int32)
         iR = np.full(out_pad, id_slot, dtype=np.int32)
-        iL[:out_pos.shape[0]] = out_pos
+        iL[:out_pos.shape[0]] = act_pos[out_pos]
+        partner = np.minimum(out_pos + 1, wa - 1)  # clipped; gated below
         iR[:out_pos.shape[0]] = np.where(
-            has_partner[out_pos], out_pos + 1, id_slot
+            has_partner[out_pos], act_pos[partner], id_slot
         )
         levels.append((iL, iR))
-        cur_keys = cur_keys[out_pos]
+        cur_keys = act_keys[even]
         prev_pad = out_pad
 
     tw = len(sizes) * NUM_WINDOWS
     dump = tw * NUM_BUCKETS
-    scatter_idx = np.full(prev_pad, dump, dtype=np.int32)
-    scatter_idx[:cur_keys.shape[0]] = cur_keys.astype(np.int32)
+    # pad each level's finished slice (identity-slot positions scatter to
+    # the dump bucket) so part widths fall into few compiled shape classes
+    fin_quant = min(quant, 2048)
+    parts = []
+    for lvl, pos, kk, id_slot in finished:
+        m = pos.shape[0]
+        pad = _quant(max(m, 1), fin_quant)
+        pos_p = np.full(pad, id_slot, dtype=np.int32)
+        keys_p = np.full(pad, dump, dtype=np.int32)
+        pos_p[:m] = pos
+        keys_p[:m] = kk
+        parts.append((lvl, pos_p, keys_p))
+    if not parts:  # all digits zero: scatter only identity padding
+        parts.append((0, np.full(fin_quant, w_pad - 1, dtype=np.int32),
+                      np.full(fin_quant, dump, dtype=np.int32)))
     return {
         "point_idx0": point_idx0,
         "levels": levels,
-        "scatter_idx": scatter_idx,
+        "finished": parts,
         "tw": tw,
         "n_pad": n_pad,
         "entries": w_real,
@@ -178,13 +215,13 @@ def _level_add(f, iL, iR):
 
 @partial(jax.jit, static_argnames=("tw",))
 def _bucket_phase(f, scatter_idx, tw):
-    """Scatter the reduced frontier into the bucket grid, then window
-    totals by summation-by-parts (two log-depth suffix scans over the
-    bucket axis, fori_loop-shared add graph — msm_jax._suffix_scan_buckets;
-    arithmetic.rs:86-94). An unrolled per-bit tree reduction does ~3x fewer
-    point adds but XLA-compiles for minutes (every add inlines the full
-    mont-mul dataflow); the fori_loop scan compiles once and the bucket
-    phase is <15% of the MSM anyway."""
+    """Scatter the finalized bucket entries into the bucket grid, then
+    window totals by summation-by-parts (two log-depth suffix scans over
+    the bucket axis, fori_loop-shared add graph —
+    msm_jax._suffix_scan_buckets; arithmetic.rs:86-94). An unrolled
+    per-bit tree reduction does ~3x fewer point adds but XLA-compiles for
+    minutes (every add inlines the full mont-mul dataflow); the fori_loop
+    scan compiles once and the bucket phase is <15% of the MSM anyway."""
     from .msm_jax import _suffix_scan_buckets
 
     nslots = tw * NUM_BUCKETS + 1
@@ -224,11 +261,24 @@ def dispatch_planned(x_np, y_np, plan):
     xs[:, :total] = x_np.T
     ys[:, :total] = y_np.T
     src = _convert_points(jnp.asarray(xs), jnp.asarray(ys))
-    f = _gather0(src, jnp.asarray(plan["point_idx0"]))
+    frontiers = [_gather0(src, jnp.asarray(plan["point_idx0"]))]
     for iL, iR in plan["levels"]:
-        f = _level_add(f, jnp.asarray(iL), jnp.asarray(iR))
-    return _bucket_phase(f, jnp.asarray(plan["scatter_idx"]),
-                         tw=plan["tw"])
+        frontiers.append(
+            _level_add(frontiers[-1], jnp.asarray(iL), jnp.asarray(iR))
+        )
+    # finalized buckets gather from the frontier level where they reduced
+    # to one entry; identity-padded lanes scatter into the dump slot
+    gathered = [
+        _gather0(frontiers[lvl], jnp.asarray(pos))
+        for lvl, pos, _keys in plan["finished"]
+    ]
+    fin = tuple(
+        jnp.concatenate([g[c] for g in gathered], axis=1) for c in range(3)
+    )
+    scatter_idx = np.concatenate(
+        [keys for _lvl, _pos, keys in plan["finished"]]
+    )
+    return _bucket_phase(fin, jnp.asarray(scatter_idx), tw=plan["tw"])
 
 
 def msm_grouped(scalars_np, x_np, y_np, sizes):

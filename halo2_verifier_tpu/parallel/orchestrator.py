@@ -276,12 +276,27 @@ class BatchVerifier:
         )
         return ("grouped", arr)
 
-    def _fast_stream_dispatch(self, batch, pads):
-        """VM raw fast path for a homogeneous stream batch: replay with the
-        per-proof isolation weights folded in-VM, assemble the two
-        accumulator MSMs as numpy limb arrays (no per-entry Python big
-        ints), dispatch. Returns (handle, pads) or None when inapplicable
-        (VM unavailable / heterogeneous vks). MalformedProof propagates."""
+    def _decomp_enabled(self) -> bool:
+        """Device G1-decompression pre-pass (ops/decomp_jax.py): on by
+        default on an accelerator (H2V_DECOMP=host/device overrides); the
+        mesh path keeps host decompression (its device queue is the
+        sharded MSM)."""
+        import os
+
+        v = os.environ.get("H2V_DECOMP")
+        if v == "device":
+            return True
+        if v == "host":
+            return False
+        if self.mesh is not None:
+            return False
+        import jax
+
+        return jax.default_backend() != "cpu"
+
+    def _stream_program(self, batch):
+        """The compiled VM program for a homogeneous stream batch, or None
+        when the fast path doesn't apply."""
         import os
 
         if os.environ.get("H2V_DISABLE_VM"):
@@ -302,10 +317,50 @@ class BatchVerifier:
                     self.params, self.vk, shape, multiopen=self.multiopen,
                     hash_name=self.hash_name,
                 )
-            program = self._vm_programs[key]
+        except Exception:
+            return None
+        return self._vm_programs[key]
+
+    def _prefetch_decomp(self, batch, executor):
+        """Dispatch the device sqrt pre-pass for a batch and hand the
+        fetch+pack to a worker thread; returns a Future of ext_y bytes
+        (None future when the pre-pass doesn't apply). Called one batch
+        AHEAD in verify_stream so the device round trip overlaps the
+        previous batch's host work."""
+        if not self._decomp_enabled():
+            return None
+        program = self._stream_program(batch)
+        if program is None or not program.n_points:
+            return None
+        from ..ops import decomp_jax
+        from ..protocol.replay_native import CompiledReplay
+
+        xs = program.gather_point_xs([item[0] for item in batch])
+        handle = decomp_jax.dispatch_y_batch(xs)
+        return executor.submit(
+            lambda: CompiledReplay.pack_ext_y(np.asarray(handle),
+                                              xs.shape[0])
+        )
+
+    def _fast_stream_dispatch(self, batch, pads, ext_y_fut=None):
+        """VM raw fast path for a homogeneous stream batch: replay with the
+        per-proof isolation weights folded in-VM, assemble the two
+        accumulator MSMs as numpy limb arrays (no per-entry Python big
+        ints), dispatch. Returns (handle, pads) or None when inapplicable
+        (VM unavailable / heterogeneous vks). MalformedProof propagates.
+
+        ext_y_fut: optional Future of the device-decompressed principal
+        roots (from _prefetch_decomp) — the VM then verifies instead of
+        computing each point's sqrt."""
+        program = self._stream_program(batch)
+        if program is None:
+            return None
+        try:
             weights = [self._rng() for _ in batch]
+            ext_y = ext_y_fut.result() if ext_y_fut is not None else None
             with self.timings.stage("host_replay"):
-                sc, pt = program.replay_batch_raw(batch, weights)
+                sc, pt = program.replay_batch_raw(batch, weights,
+                                                  ext_y=ext_y)
             with self.timings.stage("host_assemble"):
                 arrs = program.batch_msm_arrays(sc, pt, len(batch))
         except VerifyFailure:
@@ -398,15 +453,36 @@ class BatchVerifier:
         # it overlaps the NEXT batch's replay — both sides release the GIL
         # (native VM call; device transfer; native pairing)
         executor = ThreadPoolExecutor(max_workers=1)
+        # decomp fetches get their own worker: the y-array transfer for
+        # batch k+1 overlaps batch k's replay/dispatch on the main thread
+        decomp_executor = ThreadPoolExecutor(max_workers=1)
         pending = None  # Future[BatchResult]
         stream_pads = (pad_to, pad_to) if pad_to is not None else None
+
+        def batches_with_decomp():
+            """One-batch lookahead: the device sqrt pre-pass for batch k+1
+            is dispatched before batch k is processed, hiding its round
+            trip behind host work."""
+            it = iter(batches)
+            cur = next(it, None)
+            if cur is None:
+                return
+            cur_y = self._prefetch_decomp(cur, decomp_executor)
+            while cur is not None:
+                nxt = next(it, None)
+                nxt_y = (self._prefetch_decomp(nxt, decomp_executor)
+                         if nxt is not None else None)
+                yield cur, cur_y
+                cur, cur_y = nxt, nxt_y
+
         try:
-            for batch in batches:
+            for batch, ext_y_fut in batches_with_decomp():
                 # fast path: VM replay with in-VM weight folding, numpy MSM
                 # assembly — no per-proof Python accumulators unless a
                 # failure later needs localization
                 try:
-                    fast = self._fast_stream_dispatch(batch, stream_pads)
+                    fast = self._fast_stream_dispatch(batch, stream_pads,
+                                                      ext_y_fut)
                 except VerifyFailure:
                     if pending is not None:
                         yield pending.result()
@@ -463,6 +539,7 @@ class BatchVerifier:
                 yield pending.result()
         finally:
             executor.shutdown(wait=True)
+            decomp_executor.shutdown(wait=True)
 
     def _finish_pipelined(self, batch, duals, pad, handle, localize):
         with self.timings.stage("device_msm_collect"):

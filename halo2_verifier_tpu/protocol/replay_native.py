@@ -50,11 +50,17 @@ class CompiledReplay:
         self.n_points = self.program.n_points
         self.n_aux = self.program.n_aux
 
-    def replay_batch_raw(self, proofs_and_instances, weights=None):
+    def replay_batch_raw(self, proofs_and_instances, weights=None,
+                         ext_y=None):
         """Run the VM; returns (scalars_bytes, points_bytes) raw buffers:
         scalars n * n_out * 32B canonical LE (weighted by the per-proof
         isolation weight when `weights` is given), points n * n_points *
         64B canonical LE x||y.
+
+        ext_y: optional n*n_points*32B canonical LE principal roots of
+        x^3+3 from the device sqrt pre-pass (ops/decomp_jax.py) — the VM
+        then checks y^2 == x^3+3 (~5 muls) instead of computing the
+        ~381-mul Fermat sqrt per point.
 
         Raises MalformedProof (listing indices) if any proof stream is
         invalid — the same outcome class as the Python replay raising on
@@ -93,7 +99,7 @@ class CompiledReplay:
             bytes(self.blob), bytes(proof_buf), stride,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             bytes(aux_buf), aux_stride, n, wbuf, out_scalars, out_points,
-            status, 2,
+            status, 2, ext_y,
         )
         if bad < 0:
             raise RuntimeError("replay VM rejected the program")
@@ -102,6 +108,33 @@ class CompiledReplay:
                 [i for i in range(n) if status.raw[i]]
             )
         return out_scalars.raw, out_points.raw
+
+    def gather_point_xs(self, proofs):
+        """Gather every proof point's compressed x coordinate (sign bit
+        masked) as (n * n_points, 16) uint32 canonical LE limbs — the
+        device sqrt pre-pass input (ops/decomp_jax.py). Point byte
+        offsets are vk-static (program.point_offsets); short proofs pad
+        with zeros (the VM rejects them independently)."""
+        offs = self.program.point_offsets
+        npts = len(offs)
+        n = len(proofs)
+        out = np.zeros((n * npts, 32), dtype=np.uint8)
+        for i, p in enumerate(proofs):
+            pv = np.frombuffer(p, dtype=np.uint8)
+            row = i * npts
+            for j, off in enumerate(offs):
+                if off + 32 <= pv.shape[0]:
+                    out[row + j] = pv[off:off + 32]
+        out[:, 31] &= 0x7F
+        return out.view("<u2").astype(np.uint32)
+
+    @staticmethod
+    def pack_ext_y(y_limbs, count):
+        """Device sqrt output (16, B) uint32 canonical 16-bit limbs ->
+        count*32B LE bytes for replay_batch_raw(ext_y=...)."""
+        return np.ascontiguousarray(
+            y_limbs[:, :count].T.astype(np.uint16)
+        ).tobytes()
 
     # ------------------------------------------------- batch-array fast path
 

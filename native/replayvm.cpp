@@ -263,6 +263,45 @@ struct Transcript {
 // identity or invalid encoding — the transcript cannot absorb infinity
 // (transcript/mod.rs:216-224), so both fail the proof.
 
+// External-y variant: y0 (canonical LE) was computed off-host (the device
+// sqrt pre-pass, ops/decomp_jax.py) as rhs^((q+1)/4) for rhs = x^3 + 3.
+// The VM re-checks y0^2 == rhs (so a wrong/garbage y0 or a non-residue rhs
+// rejects exactly like the sqrt path) and applies the sign bit — ~5 mont
+// muls instead of a ~381-mul Fermat sqrt.
+bool check_point_ext(const uint8_t src[32], const uint8_t* y_ext,
+                     uint8_t out_xy[64]) {
+  uint8_t xbuf[32];
+  std::memcpy(xbuf, src, 32);
+  int ysign = (xbuf[31] >> 7) & 1;
+  xbuf[31] &= 0x7f;
+  u64 x[4];
+  load_le(x, xbuf);
+  if (is_zero4(x)) return false;
+  if (geq(x, kFq.mod)) return false;
+  u64 ye[4];
+  load_le(ye, y_ext);
+  if (geq(ye, kFq.mod)) return false;
+  u64 xm[4], x2[4], rhs[4], ym[4], y2[4];
+  to_mont(xm, x, kFq);
+  mont_mul(x2, xm, xm, kFq);
+  mont_mul(rhs, x2, xm, kFq);
+  add_mod(rhs, rhs, kBMont, kFq);
+  to_mont(ym, ye, kFq);
+  mont_mul(y2, ym, ym, kFq);
+  if (std::memcmp(y2, rhs, 32) != 0) return false;
+  u64 yc[4];
+  std::memcpy(yc, ye, 32);
+  if ((int)(yc[0] & 1) != ysign) {
+    u64 neg[4];
+    std::memcpy(neg, kFq.mod, 32);
+    sub_raw(neg, yc);
+    std::memcpy(yc, neg, 32);
+  }
+  store_le(out_xy, x);
+  store_le(out_xy + 32, yc);
+  return true;
+}
+
 bool decompress_point(const uint8_t src[32], uint8_t out_xy[64]) {
   uint8_t xbuf[32];
   std::memcpy(xbuf, src, 32);
@@ -308,6 +347,7 @@ enum Op : uint32_t {
   OP_READ_POINT = 9,
   OP_ABSORB_REG = 10,
   OP_AUX_LOAD = 11,
+  OP_BATCH_INV = 12,
 };
 
 struct Program {
@@ -347,7 +387,8 @@ struct Program {
 // touches per-entry big ints.
 int run_one(const Program& p, const uint8_t* proof, u64 proof_len,
             const uint8_t* aux, const u64* weight_mont, u64* regs,
-            uint8_t* out_scalars, uint8_t* out_points) {
+            uint8_t* out_scalars, uint8_t* out_points,
+            const uint8_t* ext_y) {
   Transcript tr;
   tr.init((int)p.hash_kind);
   u64 cursor = 0;
@@ -389,6 +430,38 @@ int run_one(const Program& p, const uint8_t* proof, u64 proof_len,
         mont_pow(dst, a, kFrInvExp, 4, kFr);
         break;
       }
+      case OP_BATCH_INV: {
+        // k consecutive ops form the group (first carries k in c); one
+        // Fermat pow + 3(k-1) muls via Montgomery's trick
+        uint32_t k = op[3];
+        if (k == 0 || i + k > p.n_ops) return 1;
+        u64 prefix[64][4];  // running products; verifier groups are small
+        if (k > 64) return 1;
+        for (uint32_t j = 0; j < k; ++j) {
+          const u64* a = regs + 4 * p.ops[4 * (i + j) + 2];
+          if (is_zero4(a)) return 1;
+          if (j == 0)
+            std::memcpy(prefix[0], a, 32);
+          else
+            mont_mul(prefix[j], prefix[j - 1], a, kFr);
+        }
+        u64 inv_run[4];
+        mont_pow(inv_run, prefix[k - 1], kFrInvExp, 4, kFr);
+        for (uint32_t j = k; j-- > 0;) {
+          u64* d = regs + 4 * p.ops[4 * (i + j) + 1];
+          const u64* a = regs + 4 * p.ops[4 * (i + j) + 2];
+          if (j == 0) {
+            std::memcpy(d, inv_run, 32);
+          } else {
+            u64 next[4];
+            mont_mul(next, inv_run, a, kFr);  // inv of prefix[j-1]
+            mont_mul(d, inv_run, prefix[j - 1], kFr);
+            std::memcpy(inv_run, next, 32);
+          }
+        }
+        i += k - 1;
+        break;
+      }
       case OP_SQUEEZE:
         tr.squeeze_challenge(dst);
         break;
@@ -407,7 +480,12 @@ int run_one(const Program& p, const uint8_t* proof, u64 proof_len,
       case OP_READ_POINT: {
         if (cursor + 32 > proof_len) return 1;
         uint8_t* xy = out_points + 64 * op[1];
-        if (!decompress_point(proof + cursor, xy)) return 1;
+        if (ext_y) {
+          if (!check_point_ext(proof + cursor, ext_y + 32 * op[1], xy))
+            return 1;
+        } else if (!decompress_point(proof + cursor, xy)) {
+          return 1;
+        }
         cursor += 32;
         tmp[0] = kPrefixPoint;
         std::memcpy(tmp + 1, xy, 64);
@@ -456,12 +534,16 @@ extern "C" {
 // LE scalars, the instance values). Outputs per proof: out_scalars
 // n_out*32B, out_points n_points*64B, status 1B. Returns number of invalid
 // proofs, or -1 on a malformed program.
+// ext_y (optional): n_proofs * n_points * 32B canonical LE principal roots
+// of x^3+3 (device sqrt pre-pass) — READ_POINT then verifies y^2 == x^3+3
+// and applies the sign bit instead of computing the Fermat sqrt itself.
 int64_t h2v_replay_batch(const uint8_t* program_buf, const uint8_t* proofs,
                          uint64_t proof_stride, const uint64_t* proof_lens,
                          const uint8_t* aux, uint64_t aux_stride,
                          uint64_t n_proofs, const uint8_t* weights,
                          uint8_t* out_scalars, uint8_t* out_points,
-                         uint8_t* status, int n_threads) {
+                         uint8_t* status, int n_threads,
+                         const uint8_t* ext_y) {
   Program p;
   if (!p.parse(program_buf)) return -1;
   if (n_threads < 1) n_threads = 1;
@@ -483,7 +565,8 @@ int64_t h2v_replay_batch(const uint8_t* program_buf, const uint8_t* proofs,
       status[i] = (uint8_t)run_one(
           p, proofs + i * proof_stride, proof_lens[i], aux + i * aux_stride,
           wp, regs.data(), out_scalars + i * (u64)p.n_out * 32,
-          out_points + i * (u64)p.n_points * 64);
+          out_points + i * (u64)p.n_points * 64,
+          ext_y ? ext_y + i * (u64)p.n_points * 32 : nullptr);
     }
   };
 

@@ -100,3 +100,54 @@ def test_batch_accumulator_determinism(two_circuits):
     assert a == b
     c = bv._eval_combined(duals, [8, 11], pad_to=128)
     assert a != c  # different weights must move the accumulator
+
+
+def test_verify_stream_device_decomp(two_circuits, monkeypatch):
+    """H2V_DECOMP=device: the sqrt pre-pass (ops/decomp_jax.py) feeds the
+    VM external principal roots; results must match the host-decomp path
+    including tamper localization."""
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+
+    monkeypatch.setenv("H2V_DECOMP", "device")
+    params, vm_proofs, _ = two_circuits
+    vk = vm_proofs[0][2]
+    good = [(p, inst) for p, inst, _ in vm_proofs]
+    bad_instance = [[(v + 1) % R for v in vm_proofs[1][1][0]]]
+    batches = [
+        good,
+        [good[0], (vm_proofs[1][0], bad_instance)],
+    ]
+    bv = BatchVerifier(params, vk)
+    results = list(bv.verify_stream(batches, pad_to=128))
+    assert results[0].ok
+    assert not results[1].ok and results[1].failed_indices == [1]
+
+
+def test_verify_stream_device_decomp_malformed_point(two_circuits,
+                                                     monkeypatch):
+    """A proof whose point bytes encode x >= q must fail identified on
+    the device-decomp path (the VM's range check rejects it before the
+    y^2 check)."""
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+    from halo2_verifier_tpu.protocol.replay_native import (
+        CompiledReplay,
+        vm_available,
+    )
+
+    if not vm_available():
+        import pytest
+
+        pytest.skip("native VM unavailable")
+    monkeypatch.setenv("H2V_DECOMP", "device")
+    params, vm_proofs, _ = two_circuits
+    vk = vm_proofs[0][2]
+    shape = tuple(len(c) for c in vm_proofs[0][1])
+    program = CompiledReplay(params, vk, shape)
+    bad = bytearray(vm_proofs[0][0])
+    off = program.program.point_offsets[0]
+    bad[off:off + 32] = b"\xff" * 32  # x >= q, sign bit set
+    batches = [[(vm_proofs[1][0], vm_proofs[1][1]),
+                (bytes(bad), vm_proofs[0][1])]]
+    bv = BatchVerifier(params, vk)
+    results = list(bv.verify_stream(batches, pad_to=128))
+    assert not results[0].ok and results[0].failed_indices == [1]
