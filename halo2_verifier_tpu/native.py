@@ -133,5 +133,24 @@ def load():
                                              # decompressed principal roots
     ]
     lib.h2v_replay_batch.restype = ctypes.c_int64
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.h2v_forest_plan.argtypes = [
+        u32p,                # scalars (total,16) canonical limbs
+        ctypes.c_uint64,     # total
+        u64p,                # sizes
+        ctypes.c_uint64,     # n_groups
+        ctypes.c_uint32,     # quant
+        ctypes.c_uint32,     # fin_quant
+        ctypes.c_uint32,     # floor
+        i32p, ctypes.c_uint64,   # point_idx0, cap
+        i32p, ctypes.c_uint64,   # levels_buf, cap
+        u64p, ctypes.c_uint64,   # level_widths, max_levels
+        i32p, i32p, ctypes.c_uint64,  # fin_pos, fin_keys, cap
+        u64p, ctypes.c_uint64,   # fin_meta, max_parts
+        u64p,                # header[6]
+    ]
+    lib.h2v_forest_plan.restype = ctypes.c_int64
     _lib = lib
     return _lib

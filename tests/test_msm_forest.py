@@ -68,3 +68,39 @@ def test_plan_shape_invariants():
     # identity-slot padding present at every level
     for iL, iR in plan["levels"]:
         assert iL.shape == iR.shape
+
+
+def test_native_plan_parity():
+    """C++ planner (native/forestplan.cpp) must produce bitwise-identical
+    plans to the numpy reference, across run-length edge cases."""
+    from halo2_verifier_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(23)
+    cases = [
+        [int.from_bytes(rng.bytes(32), "little") % R for _ in range(40)],
+        [7] * 20,                      # worst-case equal-digit runs
+        [0] * 6 + [5] * 4 + [R - 1] * 10,
+        [1],
+    ]
+    sizes_for = {40: [15, 25], 20: [20], 1: [1]}
+    for sc in cases:
+        limbs = ints_to_limbs([s % R for s in sc])
+        sizes = sizes_for[len(sc)]
+        a = msm_forest._host_plan_native(limbs, sizes)
+        b = msm_forest.host_plan_np(limbs, sizes)
+        assert a is not None
+        assert a["tw"] == b["tw"] and a["n_pad"] == b["n_pad"]
+        assert a["entries"] == b["entries"] and a["adds"] == b["adds"]
+        np.testing.assert_array_equal(a["point_idx0"], b["point_idx0"])
+        assert len(a["levels"]) == len(b["levels"])
+        for (al, ar), (bl, br) in zip(a["levels"], b["levels"]):
+            np.testing.assert_array_equal(al, bl)
+            np.testing.assert_array_equal(ar, br)
+        assert len(a["finished"]) == len(b["finished"])
+        for (alv, ap, ak), (blv, bp, bk) in zip(a["finished"],
+                                                b["finished"]):
+            assert alv == blv
+            np.testing.assert_array_equal(ap, bp)
+            np.testing.assert_array_equal(ak, bk)
