@@ -87,7 +87,38 @@ def build_fixture(num_proofs: int):
     return params, pk.vk, batch
 
 
+def _probe_device(timeout_s: int = 240) -> str:
+    """Bounded platform probe in a subprocess: a wedged accelerator tunnel
+    makes jax.devices() block forever (the relay dies if TPU clients are
+    killed mid-op) — better one diagnostic JSON line than a silent hang."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        return ""
+    return ""
+
+
 def main():
+    platform = _probe_device()
+    if not platform:
+        print(json.dumps({
+            "metric": "proofs_per_s_per_chip_batch_verify_k14",
+            "value": 0.0,
+            "unit": "proofs/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "accelerator unavailable: jax device "
+                                "init did not respond (tunnel down?)"},
+        }))
+        return 1
+
     t0 = time.time()
     # BATCH distinct proofs: repeating a smaller fixture would understate
     # MSM work (identical commitments dedup into one entry). The stream

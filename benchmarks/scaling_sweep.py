@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu even where a sitecustomize hook pins the
+    # accelerator platform (must land before any jax device use)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--entries", type=int, default=7424,
                     help="MSM entries per batch (both groups combined)")

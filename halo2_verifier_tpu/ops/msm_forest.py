@@ -297,15 +297,96 @@ def _level_add(f, iL, iR):
     return lc.OPS16.add(a, b)
 
 
+_LEAF_IDX_CACHE = {}
+
+
+def _bucket_leaf_idx(tw: int):
+    """Static gather indices for the bit-plane reduction: for each window
+    w and digit bit b, the 128 buckets whose digit has bit b set, laid out
+    (w, b)-major. Depends only on tw — computed once, reused forever."""
+    idx = _LEAF_IDX_CACHE.get(tw)
+    if idx is None:
+        per_bit = [
+            [k for k in range(1, NUM_BUCKETS) if (k >> b) & 1]
+            for b in range(WINDOW_BITS)
+        ]
+        idx = np.asarray(
+            [
+                w * NUM_BUCKETS + k
+                for w in range(tw)
+                for b in range(WINDOW_BITS)
+                for k in per_bit[b]
+            ],
+            dtype=np.int32,
+        )
+        _LEAF_IDX_CACHE[tw] = idx
+    return idx
+
+
 @partial(jax.jit, static_argnames=("tw",))
+def _grid_leaves(f, scatter_idx, leaf_idx, tw):
+    """Scatter the finalized bucket entries into the (tw, NUM_BUCKETS)
+    grid (empty buckets patched to the projective identity), then gather
+    the bit-plane leaves: (NLIMBS, tw * WINDOW_BITS * 128)."""
+    nslots = tw * NUM_BUCKETS + 1
+    grid = tuple(
+        jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+        .at[:, scatter_idx].set(c)
+        for c in f
+    )
+    grid = tuple(c[:, :-1] for c in grid)
+    # empty buckets scatter as all-zero, which the complete add would
+    # absorb; patch Y to Montgomery one => (0:1:0) identity
+    empty = lf.is_zero(grid[1]) & lf.is_zero(grid[2])
+    one = jnp.broadcast_to(lf.mont_one(FQ, 1), grid[1].shape)
+    grid = (grid[0], jnp.where(empty, one, grid[1]), grid[2])
+    return tuple(c[:, leaf_idx] for c in grid)
+
+
+@jax.jit
+def _fold_pairs(f):
+    """One balanced tree level: add even/odd neighbour columns."""
+    a = tuple(c[:, 0::2] for c in f)
+    b = tuple(c[:, 1::2] for c in f)
+    return lc.OPS16.add(a, b)
+
+
+@partial(jax.jit, static_argnames=("tw",))
+def _horner_bits(planes, tw):
+    """(NLIMBS, tw*WINDOW_BITS) plane sums, (w, b)-major -> window totals
+    sum_b 2^b S_b by Horner (double = complete self-add), stacked
+    (3, NLIMBS, tw)."""
+    p = tuple(c.reshape(NLIMBS, tw, WINDOW_BITS) for c in planes)
+    t = tuple(c[:, :, WINDOW_BITS - 1] for c in p)
+    for b in range(WINDOW_BITS - 2, -1, -1):
+        t = lc.OPS16.add(t, t)
+        t = lc.OPS16.add(t, tuple(c[:, :, b] for c in p))
+    return jnp.stack(t)
+
+
 def _bucket_phase(f, scatter_idx, tw):
-    """Scatter the finalized bucket entries into the bucket grid, then
-    window totals by summation-by-parts (two log-depth suffix scans over
-    the bucket axis, fori_loop-shared add graph —
-    msm_jax._suffix_scan_buckets; arithmetic.rs:86-94). An unrolled
-    per-bit tree reduction does ~3x fewer point adds but XLA-compiles for
-    minutes (every add inlines the full mont-mul dataflow); the fori_loop
-    scan compiles once and the bucket phase is <15% of the MSM anyway."""
+    """Window totals sum_k k*B_k via the bit decomposition
+    k = sum_b 2^b bit_b(k): each bit plane S_b = sum of its 128 buckets
+    reduces in a balanced 7-level tree (slice-pair adds, no gathers), and
+    the 2^b weights fold in a WINDOW_BITS-step Horner over tw lanes —
+    ~tw*(127*8+14) adds vs ~tw*2*255*8 for the summation-by-parts suffix
+    scans (arithmetic.rs:86-94) this replaces. The whole phase is static
+    given tw, so every level kernel compiles once and is reused by every
+    batch. H2V_BUCKET=scan reverts to the fori_loop suffix-scan pair."""
+    import os
+
+    if os.environ.get("H2V_BUCKET") == "scan":
+        return _bucket_phase_scan(f, scatter_idx, tw=tw)
+    leaves = _grid_leaves(f, scatter_idx,
+                          jnp.asarray(_bucket_leaf_idx(tw)), tw=tw)
+    while leaves[0].shape[1] > tw * WINDOW_BITS:
+        leaves = _fold_pairs(leaves)
+    return _horner_bits(leaves, tw=tw)
+
+
+@partial(jax.jit, static_argnames=("tw",))
+def _bucket_phase_scan(f, scatter_idx, tw):
+    """Summation-by-parts fallback (two fori_loop suffix scans)."""
     from .msm_jax import _suffix_scan_buckets
 
     nslots = tw * NUM_BUCKETS + 1
@@ -317,8 +398,6 @@ def _bucket_phase(f, scatter_idx, tw):
     grid = tuple(
         c[:, :-1].reshape(NLIMBS, tw, NUM_BUCKETS) for c in grid
     )
-    # empty buckets scatter as all-zero, which the complete add would
-    # absorb; patch Y to Montgomery one => (0:1:0) identity
     empty = lf.is_zero(grid[1]) & lf.is_zero(grid[2])
     one = jnp.broadcast_to(
         lf.mont_one(FQ, 1)[:, :, None], grid[1].shape

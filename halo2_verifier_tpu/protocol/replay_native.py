@@ -115,16 +115,25 @@ class CompiledReplay:
         device sqrt pre-pass input (ops/decomp_jax.py). Point byte
         offsets are vk-static (program.point_offsets); short proofs pad
         with zeros (the VM rejects them independently)."""
-        offs = self.program.point_offsets
-        npts = len(offs)
+        offs = np.asarray(self.program.point_offsets, dtype=np.int64)
+        npts = offs.shape[0]
         n = len(proofs)
-        out = np.zeros((n * npts, 32), dtype=np.uint8)
-        for i, p in enumerate(proofs):
-            pv = np.frombuffer(p, dtype=np.uint8)
-            row = i * npts
-            for j, off in enumerate(offs):
-                if off + 32 <= pv.shape[0]:
-                    out[row + j] = pv[off:off + 32]
+        length = len(proofs[0]) if proofs else 0
+        if (n and npts and all(len(p) == length for p in proofs)
+                and int(offs.max()) + 32 <= length):
+            mat = np.frombuffer(b"".join(proofs), dtype=np.uint8)
+            mat = mat.reshape(n, length)
+            out = np.ascontiguousarray(
+                mat[:, offs[:, None] + np.arange(32)[None, :]]
+            ).reshape(n * npts, 32)
+        else:  # ragged / short proofs: per-proof slices, zero padding
+            out = np.zeros((n * npts, 32), dtype=np.uint8)
+            for i, p in enumerate(proofs):
+                pv = np.frombuffer(p, dtype=np.uint8)
+                row = i * npts
+                for j, off in enumerate(offs):
+                    if off + 32 <= pv.shape[0]:
+                        out[row + j] = pv[off:off + 32]
         out[:, 31] &= 0x7F
         return out.view("<u2").astype(np.uint32)
 
