@@ -1,17 +1,18 @@
-"""Scaling-efficiency sweep for the sharded MSM (BASELINE.md metric 3:
->=80% efficiency 1 -> 16 chips).
+"""Scaling-efficiency sweep for the sharded forest MSM (BASELINE.md
+metric 3: >=80% efficiency 1 -> 16 chips).
 
-Times the grouped presorted MSM at a fixed per-batch workload while the
-device count doubles: efficiency(D) = T(1) / (D * T(D)) for fixed TOTAL
-work (strong scaling). Only per-chip window totals (KBs) cross chips, so
-efficiency tracks per-chip Pippenger runtime.
+Times the production multi-chip MSM (parallel/mesh.py
+sharded_forest_window_totals: per-chip addition forests over the point
+shard + all_to_all bucket exchange + per-chip bit-plane reduction of
+tw/D windows) at a fixed total workload while the device count doubles:
+efficiency(D) = T(1) / (D * T(D)) (strong scaling).
 
 On real multi-chip hardware this produces the reportable curve. On this
 box (one tunneled chip) it runs on a virtual CPU mesh — methodology
 identical, absolute numbers meaningless; pass --devices to size the mesh.
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python benchmarks/scaling_sweep.py --entries 7424
+        python benchmarks/scaling_sweep.py --entries 1024
 """
 
 import argparse
@@ -31,8 +32,8 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
-    ap.add_argument("--entries", type=int, default=7424,
-                    help="MSM entries per batch (both groups combined)")
+    ap.add_argument("--entries", type=int, default=4352,
+                    help="MSM points per batch (both groups combined)")
     ap.add_argument("--devices", type=int, default=0,
                     help="max devices (0 = all available)")
     ap.add_argument("--reps", type=int, default=3)
@@ -42,7 +43,6 @@ def main():
     import numpy as np
 
     from halo2_verifier_tpu.ops import hostcurve as hc
-    from halo2_verifier_tpu.ops import msm_jax
     from halo2_verifier_tpu.ops.constants import G1_GEN, R
     from halo2_verifier_tpu.ops.limbs import ints_to_limbs
     from halo2_verifier_tpu.parallel import mesh as pmesh
@@ -58,31 +58,19 @@ def main():
         [int.from_bytes(rng.bytes(32), "little") % R for _ in range(total)]
     ))
     half = total // 2
-    idx_sorted, keys_sorted, levels = msm_jax.host_plan(ss, [half,
-                                                            total - half])
-    tw = 2 * msm_jax.NUM_WINDOWS
+    sizes = [half, total - half]
 
     results = {}
     d = 1
     while d <= ndev_max:
         mesh = pmesh.make_mesh(d)
-        m = idx_sorted.shape[0]
-        rem = (-m) % d
-        idx = np.concatenate([idx_sorted,
-                              np.full(rem, total - 1, idx_sorted.dtype)])
-        keys = np.concatenate([keys_sorted,
-                               np.full(rem, keys_sorted[-1],
-                                       keys_sorted.dtype)])
-        xs_j, ys_j = np.asarray(xs), np.asarray(ys)
-        # compile + warm
-        arr = pmesh.sharded_window_totals_presorted(
-            mesh, xs_j, ys_j, idx, keys, total_windows=tw, levels=levels)
+        # compile + warm (per-chip plans + the SPMD forest program)
+        arr = pmesh.sharded_forest_window_totals(mesh, xs, ys, ss, sizes)
         arr.block_until_ready()
         t0 = time.time()
         for _ in range(args.reps):
-            arr = pmesh.sharded_window_totals_presorted(
-                mesh, xs_j, ys_j, idx, keys, total_windows=tw,
-                levels=levels)
+            arr = pmesh.sharded_forest_window_totals(mesh, xs, ys, ss,
+                                                     sizes)
             arr.block_until_ready()
         dt = (time.time() - t0) / args.reps
         results[d] = dt
@@ -92,7 +80,6 @@ def main():
     t1 = results[1]
     out = {
         "entries": total,
-        "levels": levels,
         "times_ms": {str(d): round(t * 1e3, 2) for d, t in results.items()},
         "efficiency": {
             str(d): round(t1 / (d * t), 4) for d, t in results.items()

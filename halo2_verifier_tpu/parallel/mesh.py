@@ -125,6 +125,309 @@ def combine_sharded_grouped(arr, groups: int):
     return out
 
 
+# ------------------------------------------------ sharded addition forest
+#
+# The forest MSM (ops/msm_forest.py), sharded two ways in ONE shard_map
+# program:
+# 1. POINTS: each chip plans and runs an addition forest over its slice of
+#    the points (bucket sums are linear — per-chip partial buckets add up
+#    exactly). Per-chip plans are padded to a common structure (level
+#    count, per-level widths, finished-part widths) so the SPMD program is
+#    shape-uniform; quantized widths make the pads tiny.
+# 2. WINDOWS: the bucket-reduction phase does ~tw*1030 adds regardless of
+#    point count, so replicating it would cap strong scaling at a few
+#    chips. Instead every chip's partial bucket GRID is exchanged with
+#    jax.lax.all_to_all over the window axis; each chip tree-reduces the D
+#    partials for its tw/D windows and runs the bit-plane reduction on
+#    just those. ICI traffic: (3, NLIMBS, tw, 256) u32 per chip (~12 MB at
+#    tw=64), far below ICI bandwidth at batch rates.
+
+_SHARDED_FOREST_CACHE: dict = {}
+
+
+def _pad_plans_uniform(plans):
+    """Pad per-chip plans to one common structure (same level count and
+    widths, same finished-part layout) so a single SPMD program serves
+    every chip. Dummy levels/parts are identity/dump no-ops."""
+    import numpy as np
+
+    D = len(plans)
+    w_pad = max(p["point_idx0"].shape[0] for p in plans)
+    n_levels = max(len(p["levels"]) for p in plans)
+    level_w = [
+        max((p["levels"][li][0].shape[0] if li < len(p["levels"]) else 1)
+            for p in plans)
+        for li in range(n_levels)
+    ]
+    # finished parts keyed by frontier level 0..n_levels
+    part_w = [0] * (n_levels + 1)
+    for p in plans:
+        for lvl, pos, _k in p["finished"]:
+            part_w[lvl] = max(part_w[lvl], pos.shape[0])
+    tw = plans[0]["tw"]
+    dump = tw * msm_jax.NUM_BUCKETS
+    out = []
+    for p in plans:
+        idx0 = p["point_idx0"]
+        id0 = int(idx0[-1])  # identity slot of the padded point array
+        if idx0.shape[0] < w_pad:
+            idx0 = np.concatenate(
+                [idx0, np.full(w_pad - idx0.shape[0], id0, np.int32)]
+            )
+        prev_w = w_pad
+        levels = []
+        for li in range(n_levels):
+            W = level_w[li]
+            if li < len(p["levels"]):
+                iL, iR = p["levels"][li]
+                if iL.shape[0] < W:
+                    padv = np.full(W - iL.shape[0], prev_w - 1, np.int32)
+                    iL = np.concatenate([iL, padv])
+                    iR = np.concatenate([iR, padv])
+            else:
+                iL = np.full(W, prev_w - 1, np.int32)
+                iR = iL
+            levels.append((iL, iR))
+            prev_w = W
+        fparts = {lvl: (pos, keys) for lvl, pos, keys in p["finished"]}
+        parts = []
+        widths = [w_pad] + level_w
+        for lvl in range(n_levels + 1):
+            W = part_w[lvl]
+            if not W:
+                continue
+            if lvl in fparts:
+                pos, keys = fparts[lvl]
+                if pos.shape[0] < W:
+                    pos = np.concatenate(
+                        [pos,
+                         np.full(W - pos.shape[0], widths[lvl] - 1,
+                                 np.int32)]
+                    )
+                    keys = np.concatenate(
+                        [keys, np.full(W - keys.shape[0], dump, np.int32)]
+                    )
+            else:
+                pos = np.full(W, widths[lvl] - 1, np.int32)
+                keys = np.full(W, dump, np.int32)
+            parts.append((lvl, pos, keys))
+        out.append({"point_idx0": idx0, "levels": levels,
+                    "finished": parts, "tw": tw})
+    return out
+
+
+def sharded_forest_window_totals(mesh: Mesh, x_np, y_np, s_np, sizes):
+    """Forest MSM sharded over the mesh; returns a (D, 3, NLIMBS, tw/D)
+    device array (chip d holds windows [d*tw/D, (d+1)*tw/D)) without
+    synchronizing. Host side: split points per chip, plan per chip, pad
+    plans to a uniform structure."""
+    import numpy as np
+
+    from ..ops import msm_forest as mf
+    from ..ops import lmcurve as lc
+    from ..ops import lmfield as lf
+    from ..ops.field_jax import FQ
+
+    D = mesh.devices.size
+    tw = len(sizes) * msm_jax.NUM_WINDOWS
+    assert tw % D == 0, "mesh size must divide total windows"
+
+    # split each group's rows into D near-equal chunks
+    plans = []
+    xparts, yparts = [], []
+    offs = np.cumsum([0] + list(sizes))
+    for d in range(D):
+        sl_sizes = []
+        rows = []
+        for g, sz in enumerate(sizes):
+            lo = offs[g] + (sz * d) // D
+            hi = offs[g] + (sz * (d + 1)) // D
+            sl_sizes.append(hi - lo)
+            rows.append(np.arange(lo, hi))
+        rows = np.concatenate(rows)
+        plans.append(mf.host_plan(
+            np.ascontiguousarray(s_np[rows]), sl_sizes))
+        xparts.append(x_np[rows])
+        yparts.append(y_np[rows])
+    n_pad = max(p["n_pad"] for p in plans)
+    for p in plans:
+        p["n_pad"] = n_pad
+    plans = _pad_plans_uniform(plans)
+
+    xs = np.zeros((D, NLIMBS, n_pad), dtype=np.uint32)
+    ys = np.zeros((D, NLIMBS, n_pad), dtype=np.uint32)
+    for d in range(D):
+        xs[d, :, :xparts[d].shape[0]] = xparts[d].T
+        ys[d, :, :yparts[d].shape[0]] = yparts[d].T
+
+    # staged SPMD execution: each stage is a SMALL shard_map jit, cached
+    # per (mesh, stage) with jax.jit's own shape cache on top — one big
+    # fused body would recompile for minutes whenever a level structure
+    # changes, and every stage here is reused across width classes
+    st = _forest_stages(mesh, D)
+    f = st["convert_gather"](jnp.asarray(xs), jnp.asarray(ys),
+                             jnp.asarray(np.stack(
+                                 [p["point_idx0"] for p in plans])))
+    frontiers = [f]
+    for li in range(len(plans[0]["levels"])):
+        iL = np.stack([p["levels"][li][0] for p in plans])
+        iR = np.stack([p["levels"][li][1] for p in plans])
+        frontiers.append(st["level_add"](frontiers[-1], jnp.asarray(iL),
+                                         jnp.asarray(iR)))
+    parts = []
+    for pi, (lvl, _pos, _keys) in enumerate(plans[0]["finished"]):
+        pos = np.stack([p["finished"][pi][1] for p in plans])
+        parts.append(st["part_gather"](frontiers[lvl], jnp.asarray(pos)))
+    keys = np.concatenate(
+        [np.stack([p["finished"][pi][2] for p in plans])
+         for pi in range(len(plans[0]["finished"]))], axis=1)
+    red = st["scatter_exchange"](jnp.asarray(keys), *parts, tw=tw)
+    leaf_idx = jnp.asarray(mf._bucket_leaf_idx(tw // D))
+    leaves = st["leaf_gather"](red, leaf_idx)
+    while leaves.shape[3] > (tw // D) * msm_jax.WINDOW_BITS:
+        leaves = st["fold_pairs"](leaves)
+    return st["horner"](leaves)
+
+
+def _forest_stages(mesh: Mesh, D: int):
+    """Per-mesh staged shard_map jits for the sharded forest. Every array
+    carries a leading device axis sharded over 'points'; frontiers are
+    stacked (D, 3, NLIMBS, W)."""
+    key = (mesh, "forest_stages")
+    st = _SHARDED_FOREST_CACHE.get(key)
+    if st is not None:
+        return st
+
+    from ..ops import lmcurve as lc
+    from ..ops import lmfield as lf
+    from ..ops.field_jax import FQ
+
+    spec = P("points")
+
+    def sm(fn, n_in, extra_specs=()):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=tuple([spec] * n_in) + tuple(extra_specs),
+            out_specs=spec,
+        ))
+
+    def convert_gather(xs, ys, idx0):
+        src = _forest_convert(xs[0], ys[0], lf, lc, FQ)
+        f = tuple(c[:, idx0[0]] for c in src)
+        return jnp.stack(f)[None]
+
+    def level_add(f, iL, iR):
+        fc = tuple(f[0, c] for c in range(3))
+        a = tuple(c[:, iL[0]] for c in fc)
+        b = tuple(c[:, iR[0]] for c in fc)
+        return jnp.stack(lc.OPS16.add(a, b))[None]
+
+    def part_gather(f, pos):
+        return f[:, :, :, pos[0]]
+
+    def leaf_gather(red, leaf_idx):
+        return red[:, :, :, leaf_idx]
+
+    def fold_pairs(leaves):
+        fc = tuple(leaves[0, c] for c in range(3))
+        a = tuple(c[:, 0::2] for c in fc)
+        b = tuple(c[:, 1::2] for c in fc)
+        return jnp.stack(lc.OPS16.add(a, b))[None]
+
+    def horner(leaves):
+        twd = leaves.shape[3] // msm_jax.WINDOW_BITS
+        p = tuple(
+            leaves[0, c].reshape(NLIMBS, twd, msm_jax.WINDOW_BITS)
+            for c in range(3)
+        )
+        t = tuple(c[:, :, msm_jax.WINDOW_BITS - 1] for c in p)
+        for bbit in range(msm_jax.WINDOW_BITS - 2, -1, -1):
+            t = lc.OPS16.add(t, t)
+            t = lc.OPS16.add(t, tuple(c[:, :, bbit] for c in p))
+        return jnp.stack(t)[None]
+
+    st = {
+        "convert_gather": sm(convert_gather, 3),
+        "level_add": sm(level_add, 3),
+        "part_gather": sm(part_gather, 2),
+        "leaf_gather": sm(leaf_gather, 1, extra_specs=(P(),)),
+        "fold_pairs": sm(fold_pairs, 1),
+        "horner": sm(horner, 1),
+    }
+
+    def scatter_exchange_outer(keys, *parts, tw):
+        def body(keys, *parts):
+            fin = tuple(
+                jnp.concatenate([p[0, c] for p in parts], axis=1)
+                for c in range(3)
+            )
+            nslots = tw * msm_jax.NUM_BUCKETS + 1
+            grid = tuple(
+                jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+                .at[:, keys[0]].set(c)
+                for c in fin
+            )
+            grid = tuple(c[:, :-1] for c in grid)
+            empty = lf.is_zero(grid[1]) & lf.is_zero(grid[2])
+            one = jnp.broadcast_to(lf.mont_one(FQ, 1), grid[1].shape)
+            grid = (grid[0], jnp.where(empty, one, grid[1]), grid[2])
+            ex = tuple(
+                jax.lax.all_to_all(
+                    c.reshape(NLIMBS, 1, tw * msm_jax.NUM_BUCKETS),
+                    "points", split_axis=2, concat_axis=1, tiled=True,
+                )
+                for c in grid
+            )
+            red = ex
+            while red[0].shape[1] > 1:
+                half = red[0].shape[1] // 2
+                a = tuple(c[:, :half] for c in red)
+                b = tuple(c[:, half:2 * half] for c in red)
+                s = lc.OPS16.add(a, b)
+                if red[0].shape[1] & 1:
+                    s = tuple(
+                        jnp.concatenate([sc, c[:, 2 * half:]], axis=1)
+                        for sc, c in zip(s, red)
+                    )
+                red = s
+            return jnp.stack(tuple(c[:, 0] for c in red))[None]
+
+        fkey = (mesh, "scatter_exchange", tw, len(parts))
+        fn = _SHARDED_FOREST_CACHE.get(fkey)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=tuple([spec] * (1 + len(parts))),
+                out_specs=spec,
+            ))
+            _SHARDED_FOREST_CACHE[fkey] = fn
+        return fn(keys, *parts)
+
+    st["scatter_exchange"] = scatter_exchange_outer
+    _SHARDED_FOREST_CACHE[key] = st
+    return st
+
+
+def _forest_convert(xs, ys, lf, lc, FQ):
+    b = xs.shape[1]
+    r2 = jnp.broadcast_to(FQ.r2_limbs.reshape(NLIMBS, 1), (NLIMBS, b))
+    gx = lf.mont_mul(xs, r2, FQ)
+    gy = lf.mont_mul(ys, r2, FQ)
+    return lc.from_affine(gx, gy)
+
+
+def combine_sharded_forest(arr, groups: int):
+    """(D, 3, NLIMBS, tw/D) -> per-group host affine points. Chip d owns
+    the contiguous global window range [d*tw/D, (d+1)*tw/D), so the device
+    axis concatenates back into global window order. ONE fetch."""
+    import numpy as np
+
+    arr_np = np.asarray(arr)  # (D, 3, NLIMBS, twd)
+    full = np.concatenate([arr_np[d] for d in range(arr_np.shape[0])],
+                          axis=2)  # (3, NLIMBS, tw)
+    return msm_jax.combine_window_totals_grouped(full, groups)
+
+
 def pad_entries(scalars, xs, ys, multiple: int):
     """Pad entry arrays to a multiple of the mesh size with zero scalars."""
     n = scalars.shape[0]

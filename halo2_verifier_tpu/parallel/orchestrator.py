@@ -234,12 +234,22 @@ class BatchVerifier:
         import os
 
         self.msm_entries_dispatched += s_np.shape[0]
-        if self.mesh is None and os.environ.get("H2V_MSM", "forest") == "forest":
+        forest = os.environ.get("H2V_MSM", "forest") == "forest"
+        if self.mesh is None and forest:
             from ..ops import msm_forest
 
             plan = msm_forest.host_plan(s_np, sizes)
             arr = msm_forest.dispatch_planned(x_np, y_np, plan)
             return ("grouped", arr)
+        if (self.mesh is not None and forest
+                and (len(sizes) * msm_jax.NUM_WINDOWS)
+                % self.mesh.devices.size == 0):
+            from .mesh import sharded_forest_window_totals
+
+            arr = sharded_forest_window_totals(
+                self.mesh, x_np, y_np, s_np, sizes
+            )
+            return ("sharded_forest", arr)
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted
@@ -402,6 +412,10 @@ class BatchVerifier:
             from .mesh import combine_sharded_grouped
 
             return combine_sharded_grouped(arr, 2)
+        if kind == "sharded_forest":
+            from .mesh import combine_sharded_forest
+
+            return combine_sharded_forest(arr, 2)
         return msm_jax.combine_window_totals_grouped(arr, 2)
 
     def _pairing_ok(self, left, right) -> bool:

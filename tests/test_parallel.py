@@ -123,3 +123,35 @@ def test_graft_entry_dryrun():
         timeout=3000,
     )
     assert "DRYRUN_OK" in res.stdout, res.stderr[-2000:]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_forest_matches_oracle():
+    """Forest MSM sharded over points + windows (per-chip plans, bucket
+    all_to_all exchange, tw/D bit-plane reduction per chip) must equal the
+    exact host oracle for a two-group MSM with identities/duplicates."""
+    from halo2_verifier_tpu.parallel.mesh import (
+        combine_sharded_forest,
+        make_mesh,
+        sharded_forest_window_totals,
+    )
+
+    n = 40
+    scalars = [rng.randrange(R) for _ in range(n)]
+    # duplicates + identities across both groups
+    pool = [hc.g1_mul(G1_GEN, 3 + i) for i in range(7)]
+    points = [None if i % 11 == 10 else pool[i % 7] for i in range(n)]
+    sizes = [17, 23]
+    s_np = np.asarray(ints_to_limbs([s % R for s in scalars]))
+    x_np = np.asarray(
+        ints_to_limbs([0 if p is None else p[0] for p in points]))
+    y_np = np.asarray(
+        ints_to_limbs([0 if p is None else p[1] for p in points]))
+    mesh = make_mesh(8)
+    arr = sharded_forest_window_totals(mesh, x_np, y_np, s_np, sizes)
+    got = combine_sharded_forest(arr, 2)
+    want = [
+        hc.g1_msm(scalars[:17], points[:17]),
+        hc.g1_msm(scalars[17:], points[17:]),
+    ]
+    assert got == want
