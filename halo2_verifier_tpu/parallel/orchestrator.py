@@ -304,75 +304,106 @@ class BatchVerifier:
 
         return jax.default_backend() != "cpu"
 
-    def _stream_program(self, batch):
-        """The compiled VM program for a homogeneous stream batch, or None
-        when the fast path doesn't apply."""
+    def _stream_groups(self, batch):
+        """Group a stream batch's indices by (vk, instance shape) and
+        compile/lookup the VM program for each — heterogeneous-vk batches
+        (BASELINE config 4) ride the same raw fast path as homogeneous
+        ones, their per-group entry arrays concatenating into the shared
+        accumulator MSMs. Returns [(program, idxs)] in first-appearance
+        order (stable across uniform stream batches, so the pinned pad
+        sizes stay valid), or None when the fast path doesn't apply."""
         import os
 
         if os.environ.get("H2V_DISABLE_VM"):
             return None
-        if any(len(item) > 2 for item in batch):
-            return None  # heterogeneous-vk batches take the general path
         from ..protocol.replay_native import CompiledReplay, vm_available
 
         if not vm_available():
             return None
         if not hasattr(self, "_vm_programs"):
             self._vm_programs = {}
-        shape = tuple(len(c) for c in batch[0][1])
-        key = (id(self.vk), shape)
-        try:
+        groups = {}
+        order = []
+        for i, item in enumerate(batch):
+            vk = item[2] if len(item) > 2 else self.vk
+            shape = tuple(len(c) for c in item[1])
+            key = (id(vk), shape)
             if key not in self._vm_programs:
-                self._vm_programs[key] = CompiledReplay(
-                    self.params, self.vk, shape, multiopen=self.multiopen,
-                    hash_name=self.hash_name,
-                )
-        except Exception:
-            return None
-        return self._vm_programs[key]
+                try:
+                    self._vm_programs[key] = CompiledReplay(
+                        self.params, vk, shape, multiopen=self.multiopen,
+                        hash_name=self.hash_name,
+                    )
+                except Exception:
+                    return None
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(i)
+        return [(self._vm_programs[k], groups[k]) for k in order]
 
     def _prefetch_decomp(self, batch, executor):
-        """Dispatch the device sqrt pre-pass for a batch and hand the
-        fetch+pack to a worker thread; returns a Future of ext_y bytes
-        (None future when the pre-pass doesn't apply). Called one batch
-        AHEAD in verify_stream so the device round trip overlaps the
-        previous batch's host work."""
+        """Dispatch the device sqrt pre-pass for a batch (one dispatch per
+        vk group) and hand the fetch+pack to a worker thread; returns a
+        list of per-group Futures of ext_y bytes (None entries where the
+        pre-pass doesn't apply). Called one batch AHEAD in verify_stream
+        so the device round trip overlaps the previous batch's host
+        work."""
         if not self._decomp_enabled():
             return None
-        program = self._stream_program(batch)
-        if program is None or not program.n_points:
+        groups = self._stream_groups(batch)
+        if groups is None:
             return None
         from ..ops import decomp_jax
         from ..protocol.replay_native import CompiledReplay
 
-        xs = program.gather_point_xs([item[0] for item in batch])
-        handle = decomp_jax.dispatch_y_batch(xs)
-        return executor.submit(
-            lambda: CompiledReplay.pack_ext_y(np.asarray(handle),
-                                              xs.shape[0])
-        )
+        futs = []
+        for program, idxs in groups:
+            if not program.n_points:
+                futs.append(None)
+                continue
+            xs = program.gather_point_xs([batch[i][0] for i in idxs])
+            handle = decomp_jax.dispatch_y_batch(xs)
+            futs.append(executor.submit(
+                lambda h=handle, m=xs.shape[0]:
+                CompiledReplay.pack_ext_y(np.asarray(h), m)
+            ))
+        return futs
 
-    def _fast_stream_dispatch(self, batch, pads, ext_y_fut=None):
-        """VM raw fast path for a homogeneous stream batch: replay with the
-        per-proof isolation weights folded in-VM, assemble the two
+    def _fast_stream_dispatch(self, batch, pads, ext_y_futs=None):
+        """VM raw fast path for a stream batch: replay with the per-proof
+        isolation weights folded in-VM (per vk group), assemble the two
         accumulator MSMs as numpy limb arrays (no per-entry Python big
         ints), dispatch. Returns (handle, pads) or None when inapplicable
-        (VM unavailable / heterogeneous vks). MalformedProof propagates.
+        (VM unavailable / a program fails to trace). MalformedProof
+        propagates.
 
-        ext_y_fut: optional Future of the device-decompressed principal
-        roots (from _prefetch_decomp) — the VM then verifies instead of
-        computing each point's sqrt."""
-        program = self._stream_program(batch)
-        if program is None:
+        ext_y_futs: optional per-group Futures of device-decompressed
+        principal roots (from _prefetch_decomp) — the VM then verifies
+        instead of computing each point's sqrt."""
+        groups = self._stream_groups(batch)
+        if groups is None:
             return None
         try:
             weights = [self._rng() for _ in batch]
-            ext_y = ext_y_fut.result() if ext_y_fut is not None else None
-            with self.timings.stage("host_replay"):
-                sc, pt = program.replay_batch_raw(batch, weights,
-                                                  ext_y=ext_y)
-            with self.timings.stage("host_assemble"):
-                arrs = program.batch_msm_arrays(sc, pt, len(batch))
+            sides = {"left": [], "right": []}
+            for gi, (program, idxs) in enumerate(groups):
+                sub = [(batch[i][0], batch[i][1]) for i in idxs]
+                w = [weights[i] for i in idxs]
+                ext_y = None
+                if ext_y_futs is not None and ext_y_futs[gi] is not None:
+                    ext_y = ext_y_futs[gi].result()
+                with self.timings.stage("host_replay"):
+                    sc, pt = program.replay_batch_raw(sub, w, ext_y=ext_y)
+                with self.timings.stage("host_assemble"):
+                    garrs = program.batch_msm_arrays(sc, pt, len(sub))
+                for side in sides:
+                    sides[side].append(garrs[side])
+            arrs = {
+                side: tuple(np.concatenate([g[c] for g in parts])
+                            for c in range(3))
+                for side, parts in sides.items()
+            }
         except VerifyFailure:
             raise
         except Exception:

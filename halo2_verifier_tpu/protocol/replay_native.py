@@ -95,10 +95,17 @@ class CompiledReplay:
         out_points = ctypes.create_string_buffer(
             max(n * self.n_points * 64, 1))
         status = ctypes.create_string_buffer(n)
+        # pass the staging bytearrays without copying (MBs per batch)
+        proof_c = ctypes.cast(
+            (ctypes.c_char * len(proof_buf)).from_buffer(proof_buf),
+            ctypes.c_char_p)
+        aux_c = ctypes.cast(
+            (ctypes.c_char * len(aux_buf)).from_buffer(aux_buf),
+            ctypes.c_char_p)
         bad = lib.h2v_replay_batch(
-            bytes(self.blob), bytes(proof_buf), stride,
+            bytes(self.blob), proof_c, stride,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            bytes(aux_buf), aux_stride, n, wbuf, out_scalars, out_points,
+            aux_c, aux_stride, n, wbuf, out_scalars, out_points,
             status, 2, ext_y,
         )
         if bad < 0:
