@@ -29,8 +29,12 @@ import os
 import sys
 import time
 
-BATCH = 256      # proofs per stream batch (one device dispatch + pairing)
-NUM_BATCHES = 7  # first is compile/fill, the rest are measured
+BATCH = int(os.environ.get("H2V_BENCH_BATCH", "256"))
+#                ^ proofs per stream batch (one device dispatch + pairing);
+#                  batches larger than the fixture pack tile it (fresh
+#                  random isolation weights keep the device work real)
+NUM_BATCHES = int(os.environ.get("H2V_BENCH_NUM_BATCHES", "7"))
+#                ^ first is compile/fill, the rest are measured
 
 K = 14
 ROWS = 8192
@@ -65,10 +69,13 @@ def build_fixture(num_proofs: int):
                 K, ROWS, N_PUB)
             proofs = z["proofs"]
             seeds = z["seeds"]
-        n = min(num_proofs, proofs.shape[0])
+        m = proofs.shape[0]
+        # tile the pack past its size: repeated proofs get fresh random
+        # isolation weights in the stream, so the device MSM work stays
+        # real (only vk-shared bases dedup, same as for distinct proofs)
         batch = [
-            (proofs[i].tobytes(), mk(int(seeds[i])).instance)
-            for i in range(n)
+            (proofs[i % m].tobytes(), mk(int(seeds[i % m])).instance)
+            for i in range(num_proofs)
         ]
         return params, pk.vk, batch
 

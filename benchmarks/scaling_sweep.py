@@ -2,9 +2,10 @@
 metric 3: >=80% efficiency 1 -> 16 chips).
 
 Times the production multi-chip MSM (parallel/mesh.py
-sharded_forest_window_totals: per-chip addition forests over the point
-shard + all_to_all bucket exchange + per-chip bit-plane reduction of
-tw/D windows) at a fixed total workload while the device count doubles:
+sharded_forest_by_windows: chip d plans and runs an addition forest over
+windows [d*W/D, (d+1)*W/D) of every group across all points — no
+collective; only (3, NLIMBS, tw/D) window totals leave each chip) at a
+fixed total workload while the device count doubles:
 efficiency(D) = T(1) / (D * T(D)) (strong scaling).
 
 On real multi-chip hardware this produces the reportable curve. On this
@@ -65,12 +66,11 @@ def main():
     while d <= ndev_max:
         mesh = pmesh.make_mesh(d)
         # compile + warm (per-chip plans + the SPMD forest program)
-        arr = pmesh.sharded_forest_window_totals(mesh, xs, ys, ss, sizes)
+        arr = pmesh.sharded_forest_by_windows(mesh, xs, ys, ss, sizes)
         arr.block_until_ready()
         t0 = time.time()
         for _ in range(args.reps):
-            arr = pmesh.sharded_forest_window_totals(mesh, xs, ys, ss,
-                                                     sizes)
+            arr = pmesh.sharded_forest_by_windows(mesh, xs, ys, ss, sizes)
             arr.block_until_ready()
         dt = (time.time() - t0) / args.reps
         results[d] = dt

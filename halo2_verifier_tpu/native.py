@@ -144,6 +144,8 @@ def load():
         ctypes.c_uint32,     # quant
         ctypes.c_uint32,     # fin_quant
         ctypes.c_uint32,     # floor
+        ctypes.c_uint32,     # window_lo
+        ctypes.c_uint32,     # window_count
         i32p, ctypes.c_uint64,   # point_idx0, cap
         i32p, ctypes.c_uint64,   # levels_buf, cap
         u64p, ctypes.c_uint64,   # level_widths, max_levels

@@ -48,19 +48,26 @@ def _quant(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
-def host_plan(scalars_np, groups, quant: int | None = None):
+def host_plan(scalars_np, groups, quant: int | None = None,
+              window_lo: int = 0, window_count: int | None = None):
     """Plan the whole forest: native C++ planner when available (counting
-    sort + analytic level construction, ~7x the numpy path — it sits on
+    sort + analytic level construction, ~13x the numpy path — it sits on
     the main-thread critical path between VM replay and device dispatch),
     numpy otherwise. Both produce bitwise-identical plans
-    (tests/test_msm_forest.py::test_native_plan_parity)."""
-    plan = _host_plan_native(scalars_np, groups, quant)
+    (tests/test_msm_forest.py::test_native_plan_parity).
+
+    window_lo/window_count select a window subset per group — the
+    window-sharded multi-chip path plans chip d over windows
+    [d*W/D, (d+1)*W/D) of every group (keys local to the subset)."""
+    plan = _host_plan_native(scalars_np, groups, quant, window_lo,
+                             window_count)
     if plan is not None:
         return plan
-    return host_plan_np(scalars_np, groups, quant)
+    return host_plan_np(scalars_np, groups, quant, window_lo, window_count)
 
 
-def _host_plan_native(scalars_np, groups, quant=None):
+def _host_plan_native(scalars_np, groups, quant=None, window_lo=0,
+                      window_count=None):
     from .. import native
 
     lib = native.load()
@@ -69,8 +76,10 @@ def _host_plan_native(scalars_np, groups, quant=None):
     import ctypes
 
     total = scalars_np.shape[0]
+    if window_count is None:
+        window_count = NUM_WINDOWS
     if quant is None:
-        quant = 4096 if total * NUM_WINDOWS >= 65536 else 256
+        quant = 4096 if total * window_count >= 65536 else 256
     fin_quant = min(quant, 2048)
     floor = min(quant, 2048)
     sizes = ([total // groups] * groups if isinstance(groups, int)
@@ -78,7 +87,7 @@ def _host_plan_native(scalars_np, groups, quant=None):
     n_groups = len(sizes)
     sc = np.ascontiguousarray(scalars_np, dtype=np.uint32)
     sz = np.asarray(sizes, dtype=np.uint64)
-    max_entries = total * NUM_WINDOWS
+    max_entries = total * window_count
     max_levels = 40
     point_idx0 = np.empty(max_entries + quant + 1, dtype=np.int32)
     levels_cap = 2 * (max_entries + max_levels * (quant + floor) + 2)
@@ -95,7 +104,7 @@ def _host_plan_native(scalars_np, groups, quant=None):
 
     rc = lib.h2v_forest_plan(
         p(sc, ctypes.c_uint32), total, p(sz, ctypes.c_uint64), n_groups,
-        quant, fin_quant, floor,
+        quant, fin_quant, floor, window_lo, window_count,
         p(point_idx0, ctypes.c_int32), point_idx0.shape[0],
         p(levels_buf, ctypes.c_int32), levels_cap,
         p(level_widths, ctypes.c_uint64), max_levels,
@@ -125,28 +134,34 @@ def _host_plan_native(scalars_np, groups, quant=None):
         "point_idx0": point_idx0[:w_pad],
         "levels": levels,
         "finished": parts,
-        "tw": n_groups * NUM_WINDOWS,
+        "tw": n_groups * window_count,
+        "window_lo": window_lo,
         "n_pad": n_pad,
         "entries": entries,
         "adds": adds,
     }
 
 
-def host_plan_np(scalars_np, groups, quant: int | None = None):
+def host_plan_np(scalars_np, groups, quant: int | None = None,
+                 window_lo: int = 0, window_count: int | None = None):
     """Plan the whole forest on host numpy (reference implementation).
 
     scalars_np: (total, NLIMBS) uint32 canonical scalar limbs, groups
     concatenated; `groups` is an int (equal sizes) or per-group sizes.
     Returns a dict consumed by dispatch_planned. Zero digits are dropped
     here (they contribute nothing), so the device never sees them.
+    window_lo/window_count select a per-group window subset (the
+    window-sharded multi-chip path); keys are local to the subset.
     """
     total = scalars_np.shape[0]
+    if window_count is None:
+        window_count = NUM_WINDOWS
     if quant is None:
         # small problems quantize finer so level shapes stay tiny; large
         # ones coarser so shape classes (= compile variants) stay few.
         # 4096 keeps batch-to-batch width jitter (~sqrt(entries) per
         # level) inside one class while wasting <6% at bench shapes
-        quant = 4096 if total * NUM_WINDOWS >= 65536 else 256
+        quant = 4096 if total * window_count >= 65536 else 256
     if isinstance(groups, int):
         assert total % groups == 0
         sizes = [total // groups] * groups
@@ -155,19 +170,19 @@ def host_plan_np(scalars_np, groups, quant: int | None = None):
         assert sum(sizes) == total
     per_limb = LIMB_BITS // WINDOW_BITS
     digit_cols = []
-    for w in range(NUM_WINDOWS):
+    for w in range(window_lo, window_lo + window_count):
         limb = w // per_limb
         shift = WINDOW_BITS * (w % per_limb)
         digit_cols.append(
             (scalars_np[:, limb] >> shift) & np.uint32(NUM_BUCKETS - 1)
         )
-    digits = np.stack(digit_cols, axis=1)  # (total, W)
+    digits = np.stack(digit_cols, axis=1)  # (total, window_count)
     group_id = np.repeat(
         np.arange(len(sizes), dtype=np.uint32), sizes
     )[:, None]
-    win = np.arange(NUM_WINDOWS, dtype=np.uint32)[None, :]
+    win = np.arange(window_count, dtype=np.uint32)[None, :]
     keys = (
-        group_id * np.uint32(NUM_WINDOWS * NUM_BUCKETS)
+        group_id * np.uint32(window_count * NUM_BUCKETS)
         + win * np.uint32(NUM_BUCKETS)
         + digits
     ).reshape(-1)
@@ -246,7 +261,7 @@ def host_plan_np(scalars_np, groups, quant: int | None = None):
         cur_keys = act_keys[even]
         prev_pad = out_pad
 
-    tw = len(sizes) * NUM_WINDOWS
+    tw = len(sizes) * window_count
     dump = tw * NUM_BUCKETS
     # pad each level's finished slice (identity-slot positions scatter to
     # the dump bucket) so part widths fall into few compiled shape classes
@@ -268,6 +283,7 @@ def host_plan_np(scalars_np, groups, quant: int | None = None):
         "levels": levels,
         "finished": parts,
         "tw": tw,
+        "window_lo": window_lo,
         "n_pad": n_pad,
         "entries": w_real,
         "adds": sum(l[0].shape[0] for l in levels),

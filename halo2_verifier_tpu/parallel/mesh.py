@@ -316,6 +316,12 @@ def _forest_stages(mesh: Mesh, D: int):
         f = tuple(c[:, idx0[0]] for c in src)
         return jnp.stack(f)[None]
 
+    def convert_gather_rep(xs, ys, idx0):
+        # replicated point table (window-sharded layout); idx0 sharded
+        src = _forest_convert(xs, ys, lf, lc, FQ)
+        f = tuple(c[:, idx0[0]] for c in src)
+        return jnp.stack(f)[None]
+
     def level_add(f, iL, iR):
         fc = tuple(f[0, c] for c in range(3))
         a = tuple(c[:, iL[0]] for c in fc)
@@ -348,6 +354,10 @@ def _forest_stages(mesh: Mesh, D: int):
 
     st = {
         "convert_gather": sm(convert_gather, 3),
+        "convert_gather_rep": jax.jit(jax.shard_map(
+            convert_gather_rep, mesh=mesh,
+            in_specs=(P(), P(), spec), out_specs=spec,
+        )),
         "level_add": sm(level_add, 3),
         "part_gather": sm(part_gather, 2),
         "leaf_gather": sm(leaf_gather, 1, extra_specs=(P(),)),
@@ -404,8 +414,123 @@ def _forest_stages(mesh: Mesh, D: int):
         return fn(keys, *parts)
 
     st["scatter_exchange"] = scatter_exchange_outer
+
+    def scatter_local_outer(keys, *parts, tw):
+        # window-sharded layout: keys are LOCAL to this chip's windows —
+        # plain scatter + identity patch, no collective
+        def body(keys, *parts):
+            fin = tuple(
+                jnp.concatenate([p[0, c] for p in parts], axis=1)
+                for c in range(3)
+            )
+            nslots = tw * msm_jax.NUM_BUCKETS + 1
+            grid = tuple(
+                jnp.zeros((NLIMBS, nslots), dtype=c.dtype)
+                .at[:, keys[0]].set(c)
+                for c in fin
+            )
+            grid = tuple(c[:, :-1] for c in grid)
+            empty = lf.is_zero(grid[1]) & lf.is_zero(grid[2])
+            one = jnp.broadcast_to(lf.mont_one(FQ, 1), grid[1].shape)
+            grid = (grid[0], jnp.where(empty, one, grid[1]), grid[2])
+            return jnp.stack(grid)[None]
+
+        fkey = (mesh, "scatter_local", tw, len(parts))
+        fn = _SHARDED_FOREST_CACHE.get(fkey)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=tuple([spec] * (1 + len(parts))),
+                out_specs=spec,
+            ))
+            _SHARDED_FOREST_CACHE[fkey] = fn
+        return fn(keys, *parts)
+
+    st["scatter_local"] = scatter_local_outer
     _SHARDED_FOREST_CACHE[key] = st
     return st
+
+
+# ---------------------------------------------- window-sharded forest
+#
+# The preferred multi-chip layout when D divides NUM_WINDOWS: chip d
+# plans and runs a forest over windows [d*W/D, (d+1)*W/D) of EVERY group,
+# across ALL points (points replicate — KBs at serving shapes). No
+# collective at all: per-chip work is ~(entries + bucket phase)/D and the
+# only thing leaving a chip is its (3, NLIMBS, tw/D) window totals.
+# Contrast sharded_forest_window_totals (points sharded + all_to_all
+# bucket exchange), which wins only when the point table itself is too
+# large to replicate.
+
+
+def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes):
+    """Window-sharded forest MSM; returns (D, 3, NLIMBS, tw/D) without
+    synchronizing — chip d holds windows [d*W/D, (d+1)*W/D) of each
+    group. Combine with combine_sharded_windows."""
+    import numpy as np
+
+    from ..ops import msm_forest as mf
+
+    D = mesh.devices.size
+    W = msm_jax.NUM_WINDOWS
+    assert W % D == 0, "mesh size must divide NUM_WINDOWS"
+    wpc = W // D
+    plans = [
+        mf.host_plan(s_np, sizes, window_lo=d * wpc, window_count=wpc)
+        for d in range(D)
+    ]
+    n_pad = plans[0]["n_pad"]  # same points => same padding everywhere
+    plans = _pad_plans_uniform(plans)
+    tw_local = plans[0]["tw"]
+
+    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    xs[:, :x_np.shape[0]] = x_np.T
+    ys[:, :y_np.shape[0]] = y_np.T
+
+    st = _forest_stages(mesh, D)
+    f = st["convert_gather_rep"](
+        jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(np.stack([p["point_idx0"] for p in plans])))
+    frontiers = [f]
+    for li in range(len(plans[0]["levels"])):
+        iL = np.stack([p["levels"][li][0] for p in plans])
+        iR = np.stack([p["levels"][li][1] for p in plans])
+        frontiers.append(st["level_add"](frontiers[-1], jnp.asarray(iL),
+                                         jnp.asarray(iR)))
+    parts = []
+    for pi, (lvl, _pos, _keys) in enumerate(plans[0]["finished"]):
+        pos = np.stack([p["finished"][pi][1] for p in plans])
+        parts.append(st["part_gather"](frontiers[lvl], jnp.asarray(pos)))
+    keys = np.concatenate(
+        [np.stack([p["finished"][pi][2] for p in plans])
+         for pi in range(len(plans[0]["finished"]))], axis=1)
+    red = st["scatter_local"](jnp.asarray(keys), *parts, tw=tw_local)
+    leaf_idx = jnp.asarray(mf._bucket_leaf_idx(tw_local))
+    leaves = st["leaf_gather"](red, leaf_idx)
+    while leaves.shape[3] > tw_local * msm_jax.WINDOW_BITS:
+        leaves = st["fold_pairs"](leaves)
+    return st["horner"](leaves)
+
+
+def combine_sharded_windows(arr, groups: int):
+    """(D, 3, NLIMBS, groups*wpc) per-chip window totals -> per-group host
+    affine points. Chip d's local window g*wpc+j is global window
+    d*wpc+j of group g. ONE fetch."""
+    import numpy as np
+
+    arr_np = np.asarray(arr)
+    D = arr_np.shape[0]
+    W = msm_jax.NUM_WINDOWS
+    wpc = arr_np.shape[3] // groups
+    assert wpc * D == W
+    full = np.zeros((3, NLIMBS, groups * W), dtype=arr_np.dtype)
+    for g in range(groups):
+        for d in range(D):
+            full[:, :, g * W + d * wpc:(g * W + (d + 1) * wpc)] = (
+                arr_np[d][:, :, g * wpc:(g + 1) * wpc]
+            )
+    return msm_jax.combine_window_totals_grouped(full, groups)
 
 
 def _forest_convert(xs, ys, lf, lc, FQ):

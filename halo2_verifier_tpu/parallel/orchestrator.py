@@ -241,15 +241,26 @@ class BatchVerifier:
             plan = msm_forest.host_plan(s_np, sizes)
             arr = msm_forest.dispatch_planned(x_np, y_np, plan)
             return ("grouped", arr)
-        if (self.mesh is not None and forest
-                and (len(sizes) * msm_jax.NUM_WINDOWS)
-                % self.mesh.devices.size == 0):
-            from .mesh import sharded_forest_window_totals
+        if self.mesh is not None and forest:
+            D = self.mesh.devices.size
+            if msm_jax.NUM_WINDOWS % D == 0:
+                # preferred: window sharding — no collective, per-chip
+                # work (forest + bucket phase) all scales 1/D
+                from .mesh import sharded_forest_by_windows
 
-            arr = sharded_forest_window_totals(
-                self.mesh, x_np, y_np, s_np, sizes
-            )
-            return ("sharded_forest", arr)
+                arr = sharded_forest_by_windows(
+                    self.mesh, x_np, y_np, s_np, sizes
+                )
+                return ("sharded_windows", arr)
+            if (len(sizes) * msm_jax.NUM_WINDOWS) % D == 0:
+                # fallback for D > NUM_WINDOWS or huge point tables:
+                # point sharding + all_to_all bucket exchange
+                from .mesh import sharded_forest_window_totals
+
+                arr = sharded_forest_window_totals(
+                    self.mesh, x_np, y_np, s_np, sizes
+                )
+                return ("sharded_forest", arr)
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted
@@ -447,6 +458,10 @@ class BatchVerifier:
             from .mesh import combine_sharded_forest
 
             return combine_sharded_forest(arr, 2)
+        if kind == "sharded_windows":
+            from .mesh import combine_sharded_windows
+
+            return combine_sharded_windows(arr, 2)
         return msm_jax.combine_window_totals_grouped(arr, 2)
 
     def _pairing_ok(self, left, right) -> bool:

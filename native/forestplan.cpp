@@ -37,14 +37,20 @@ inline uint64_t quant_up(uint64_t n, uint64_t q) {
 
 extern "C" {
 
+// window_lo/window_count select a window subset (the window-sharded
+// multi-chip path: chip d plans windows [d*32/D, (d+1)*32/D) of every
+// group); keys are local to the subset.
 int64_t h2v_forest_plan(
     const uint32_t* scalars, uint64_t total, const uint64_t* sizes,
     uint64_t n_groups, uint32_t quant, uint32_t fin_quant, uint32_t floor_w,
+    uint32_t window_lo, uint32_t window_count,
     int32_t* point_idx0, uint64_t point_idx0_cap, int32_t* levels_buf,
     uint64_t levels_cap, uint64_t* level_widths, uint64_t max_levels,
     int32_t* fin_pos_buf, int32_t* fin_keys_buf, uint64_t fin_cap,
     uint64_t* fin_meta, uint64_t max_parts, uint64_t* header) {
-  const uint64_t n_keys = n_groups * kNumWindows * kNumBuckets;
+  if (window_lo + window_count > kNumWindows || window_count == 0)
+    return -1;
+  const uint64_t n_keys = n_groups * window_count * kNumBuckets;
   std::vector<uint32_t> count(n_keys, 0);
 
   // group id per point (groups are concatenated)
@@ -67,11 +73,11 @@ int64_t h2v_forest_plan(
   // pass 1: counts (zero digits dropped)
   uint64_t entries = 0;
   for (uint64_t i = 0; i < total; ++i) {
-    const uint64_t base = (uint64_t)gid[i] * kNumWindows * kNumBuckets;
-    for (uint32_t w = 0; w < kNumWindows; ++w) {
+    const uint64_t base = (uint64_t)gid[i] * window_count * kNumBuckets;
+    for (uint32_t w = window_lo; w < window_lo + window_count; ++w) {
       uint32_t d = digit_of(i, w);
       if (d) {
-        ++count[base + (uint64_t)w * kNumBuckets + d];
+        ++count[base + (uint64_t)(w - window_lo) * kNumBuckets + d];
         ++entries;
       }
     }
@@ -93,11 +99,11 @@ int64_t h2v_forest_plan(
   {
     std::vector<uint64_t> cur(start.begin(), start.end() - 1);
     for (uint64_t i = 0; i < total; ++i) {
-      const uint64_t base = (uint64_t)gid[i] * kNumWindows * kNumBuckets;
-      for (uint32_t w = 0; w < kNumWindows; ++w) {
+      const uint64_t base = (uint64_t)gid[i] * window_count * kNumBuckets;
+      for (uint32_t w = window_lo; w < window_lo + window_count; ++w) {
         uint32_t d = digit_of(i, w);
-        if (d) point_idx0[cur[base + (uint64_t)w * kNumBuckets + d]++] =
-            (int32_t)i;
+        if (d) point_idx0[cur[base +
+            (uint64_t)(w - window_lo) * kNumBuckets + d]++] = (int32_t)i;
       }
     }
   }
@@ -148,7 +154,7 @@ int64_t h2v_forest_plan(
       }
       for (; j < pad; ++j) {
         fp[j] = id_slot;
-        fk[j] = (int32_t)(n_groups * kNumWindows * kNumBuckets);  // dump
+        fk[j] = (int32_t)n_keys;  // dump
       }
       fin_meta[2 * n_parts] = n_levels;
       fin_meta[2 * n_parts + 1] = pad;
@@ -205,7 +211,7 @@ int64_t h2v_forest_plan(
     if (max_parts == 0 || fin_used + fin_quant > fin_cap) return -1;
     for (uint64_t j = 0; j < fin_quant; ++j) {
       fin_pos_buf[j] = (int32_t)(w_pad - 1);
-      fin_keys_buf[j] = (int32_t)(n_groups * kNumWindows * kNumBuckets);
+      fin_keys_buf[j] = (int32_t)n_keys;
     }
     fin_meta[0] = 0;
     fin_meta[1] = fin_quant;

@@ -155,3 +155,34 @@ def test_sharded_forest_matches_oracle():
         hc.g1_msm(scalars[17:], points[17:]),
     ]
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_window_sharded_forest_matches_oracle():
+    """Window-sharded forest (each chip plans windows [d*W/D,(d+1)*W/D)
+    of every group over ALL points — no collective) must equal the exact
+    host oracle, duplicates/identities included."""
+    from halo2_verifier_tpu.parallel.mesh import (
+        combine_sharded_windows,
+        make_mesh,
+        sharded_forest_by_windows,
+    )
+
+    n = 40
+    scalars = [rng.randrange(R) for _ in range(n)]
+    pool = [hc.g1_mul(G1_GEN, 11 + i) for i in range(7)]
+    points = [None if i % 13 == 12 else pool[i % 7] for i in range(n)]
+    sizes = [17, 23]
+    s_np = np.asarray(ints_to_limbs([s % R for s in scalars]))
+    x_np = np.asarray(
+        ints_to_limbs([0 if p is None else p[0] for p in points]))
+    y_np = np.asarray(
+        ints_to_limbs([0 if p is None else p[1] for p in points]))
+    mesh = make_mesh(8)
+    arr = sharded_forest_by_windows(mesh, x_np, y_np, s_np, sizes)
+    got = combine_sharded_windows(arr, 2)
+    want = [
+        hc.g1_msm(scalars[:17], points[:17]),
+        hc.g1_msm(scalars[17:], points[17:]),
+    ]
+    assert got == want
