@@ -119,7 +119,7 @@ class BatchVerifier:
                     proof, instances = item[0], item[1]
                     vk = item[2] if len(item) > 2 else self.vk
                     shape = tuple(len(c) for c in instances)
-                    key = (id(vk), shape)
+                    key = (vk.content_digest(), shape)
                     if key not in self._vm_programs:
                         self._vm_programs[key] = CompiledReplay(
                             self.params, vk, shape,
@@ -338,7 +338,7 @@ class BatchVerifier:
         for i, item in enumerate(batch):
             vk = item[2] if len(item) > 2 else self.vk
             shape = tuple(len(c) for c in item[1])
-            key = (id(vk), shape)
+            key = (vk.content_digest(), shape)
             if key not in self._vm_programs:
                 try:
                     self._vm_programs[key] = CompiledReplay(

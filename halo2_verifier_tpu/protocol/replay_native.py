@@ -42,6 +42,10 @@ class CompiledReplay:
     def __init__(self, params, vk, instance_shape, multiopen="shplonk",
                  hash_name="blake2b"):
         self.params = params
+        # retain the vk: program caches key on its content digest, and
+        # pinning the object also keeps id(vk)-based callers safe from
+        # CPython id reuse after a caller drops its reference
+        self.vk = vk
         self.program = trace_verify(params, vk, instance_shape,
                                     multiopen=multiopen,
                                     hash_name=hash_name)

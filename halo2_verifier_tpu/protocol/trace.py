@@ -80,7 +80,10 @@ def _batch_inversions(ops):
     for op in ops:
         code, a, b, c = op
         if code == OP_INV:
-            if b in pending_dsts:
+            # the VM hard-caps a BATCH_INV group at 64 members
+            # (native/replayvm.cpp OP_BATCH_INV guard) — flush before
+            # exceeding it so emitted tapes always satisfy the cap
+            if b in pending_dsts or len(pending) >= 64:
                 flush()
             pending.append((a, b))
             pending_dsts.add(a)

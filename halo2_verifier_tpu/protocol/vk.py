@@ -299,6 +299,18 @@ class VerifyingKey:
         self.write(w, fmt)
         return w.getvalue()
 
+    def content_digest(self) -> bytes:
+        """sha256 of the serialized vk, cached. Stable cache key for
+        per-vk compiled artifacts (unlike id(vk), which CPython recycles
+        after the object is collected)."""
+        d = getattr(self, "_content_digest", None)
+        if d is None:
+            import hashlib
+
+            d = hashlib.sha256(self.to_bytes()).digest()
+            self._content_digest = d
+        return d
+
     @classmethod
     def from_bytes(cls, data: bytes, fmt: str = PROCESSED) -> "VerifyingKey":
         return cls.read(ByteReader(data), fmt)
