@@ -96,7 +96,14 @@ class ProverQuery:
 
 
 def create_proof(pk: ProvingKey, assignments, transcript,
-                 multiopen: str = "shplonk", seed: bytes = b"proof") -> bytes:
+                 multiopen: str = "shplonk", seed: bytes = b"proof",
+                 unchecked: bool = False) -> bytes:
+    """Produce a proof. With unchecked=True the prover's own satisfiability
+    asserts (lookup membership, grand-product telescoping, quotient-degree
+    overflow) are skipped and a well-formed but INVALID proof is emitted —
+    the analogue of the reference's tampered-witness negative tests
+    (tests/shuffle.rs:287-308), where rejection must come from the
+    *verifier* (pairing failure), not the prover."""
     vk, spec, srs = pk.vk, pk.spec, pk.srs
     cs, domain = vk.cs, vk.domain
     ops = DomainOps(domain)
@@ -196,9 +203,14 @@ def create_proof(pk: ProvingKey, assignments, transcript,
             s_perm = [None] * usable
             for i, v in enumerate(a_sorted):
                 if i == 0 or v != a_sorted[i - 1]:
-                    assert remaining.get(v, 0) > 0, "lookup input not in table"
-                    remaining[v] -= 1
-                    s_perm[i] = v
+                    if remaining.get(v, 0) > 0:
+                        remaining[v] -= 1
+                        s_perm[i] = v
+                    else:
+                        assert unchecked, "lookup input not in table"
+                        # leave the slot for a leftover table value; the
+                        # permuted-column consistency constraint will fail
+                        # at the verifier
             leftovers = [v for v, c in remaining.items() for _ in range(c)]
             it = iter(leftovers)
             for i in range(usable):
@@ -267,7 +279,7 @@ def create_proof(pk: ProvingKey, assignments, transcript,
             poly = _Poly(ops, z)
             perm_z_polys[p].append(poly)
             transcript.write_point(commit_lagrange(srs, z))
-        if perm_cols:
+        if perm_cols and not unchecked:
             assert carry == 1, "copy constraints unsatisfied"
 
     # ---- lookup grand products -----------------------------------------
@@ -286,7 +298,8 @@ def create_proof(pk: ProvingKey, assignments, transcript,
                     (data["s_comp"][r] + gamma) % R
                 ) % R
                 z[r + 1] = z[r] * num % R * denoms[r] % R
-            assert z[usable] == 1, "lookup product does not telescope"
+            assert unchecked or z[usable] == 1, \
+                "lookup product does not telescope"
             for r in range(usable + 1, n):
                 z[r] = _prf(seed, "lk-z", p, li, r)
             data["z"] = _Poly(ops, z)
@@ -306,7 +319,8 @@ def create_proof(pk: ProvingKey, assignments, transcript,
             )
             for r in range(usable):
                 z[r + 1] = z[r] * ((a_comp[r] + gamma) % R) % R * denoms[r] % R
-            assert z[usable] == 1, "shuffle product does not telescope"
+            assert unchecked or z[usable] == 1, \
+                "shuffle product does not telescope"
             for r in range(usable + 1, n):
                 z[r] = _prf(seed, "sh-z", p, si, r)
             data = {"a_comp": a_comp, "s_comp": s_comp, "z": _Poly(ops, z)}
@@ -477,9 +491,11 @@ def create_proof(pk: ProvingKey, assignments, transcript,
     h_ext = ops.divide_by_vanishing(h_ext)
     h_coeffs = ops.extended_to_coeff(h_ext)
     d = domain.get_quotient_poly_degree()
-    assert all(c == 0 for c in h_coeffs[d * n:]), (
+    assert unchecked or all(c == 0 for c in h_coeffs[d * n:]), (
         "quotient degree overflow: witness does not satisfy the circuit"
     )
+    # unchecked: truncate the overflowing quotient — the committed h pieces
+    # then cannot satisfy the verifier's h(x) opening claim
     h_pieces = [h_coeffs[i * n: (i + 1) * n] for i in range(d)]
     for piece in h_pieces:
         transcript.write_point(commit_coeff(srs, piece))
