@@ -59,17 +59,26 @@ class BatchVerifier:
     optional mesh sharding."""
 
     def __init__(self, params, vk, multiopen="shplonk", hash_name="blake2b",
-                 mesh=None, rng=None):
+                 mesh=None, rng=None, strategy="accumulator"):
+        if strategy not in ("accumulator", "single"):
+            raise ValueError(f"unknown strategy {strategy!r} "
+                             "(expected 'accumulator' or 'single')")
         self.params = params
         self.vk = vk
         self.multiopen = multiopen
         self.hash_name = hash_name
         self.mesh = mesh
+        # "single" = SingleStrategy semantics (kzg/strategy.rs:164-177):
+        # each proof is checked immediately with its own pairing, failures
+        # identified exactly; "accumulator" defers one pairing per batch
+        # (kzg/strategy.rs:125-141)
+        self.strategy = strategy
         self._rng = rng or (lambda: 1 + secrets.randbelow(R - 1))
         self.timings = StageTimings()
         # cumulative MSM work counter (for points/s metrics): entries
         # actually dispatched to the device, including shape padding
         self.msm_entries_dispatched = 0
+        self.point_adds_dispatched = 0
 
     # ------------------------------------------------------------ replay
     def replay(self, proofs_and_instances):
@@ -239,6 +248,13 @@ class BatchVerifier:
             from ..ops import msm_forest
 
             plan = msm_forest.host_plan(s_np, sizes)
+            # device point-add count for speed-of-light accounting: forest
+            # levels (plan) + per-window bit-plane bucket reduction
+            # (7-level tree over 128 buckets x 8 bit planes + 14-step
+            # Horner, see msm_forest._bucket_phase)
+            self.point_adds_dispatched += plan["adds"] + (
+                len(sizes) * msm_jax.NUM_WINDOWS * (127 * 8 + 14)
+            )
             arr = msm_forest.dispatch_planned(x_np, y_np, plan)
             return ("grouped", arr)
         if self.mesh is not None and forest:
@@ -473,6 +489,8 @@ class BatchVerifier:
 
     # ------------------------------------------------------------- verify
     def verify(self, proofs_and_instances, localize=True) -> BatchResult:
+        if self.strategy == "single":
+            return self._verify_individually(proofs_and_instances)
         n = len(proofs_and_instances)
         try:
             duals = self.replay(proofs_and_instances)
@@ -507,6 +525,13 @@ class BatchVerifier:
         compiled; defaults to the first batch's padded size (later batches
         must not exceed it — keep batch sizes uniform).
         """
+        if self.strategy == "single":
+            # SingleStrategy: immediate per-proof pairing, no deferral —
+            # the pipeline (whose whole point is one deferred pairing per
+            # batch) degenerates to sequential per-proof verification
+            for batch in batches:
+                yield self._verify_individually(batch)
+            return
         from concurrent.futures import ThreadPoolExecutor
 
         # finish (device sync + fetch + pairing) runs on a worker thread so
