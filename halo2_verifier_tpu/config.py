@@ -27,4 +27,5 @@ class VerifierConfig:
         if self.mesh_shape:
             mesh = make_mesh(self.mesh_shape[0])
         return BatchVerifier(params, vk, multiopen=self.multiopen,
-                             hash_name=self.hash, mesh=mesh)
+                             hash_name=self.hash, mesh=mesh,
+                             strategy=self.strategy)

@@ -24,7 +24,7 @@ from .arguments import (
     VanishingVerifier,
 )
 from .gwc import verify_gwc
-from .kzg import DualMSM, SingleStrategy, VerifyFailure
+from .kzg import DualMSM, InstanceTooLarge, SingleStrategy, VerifyFailure
 from .queries import VerifierQuery
 from .shplonk import verify_shplonk
 
@@ -46,6 +46,18 @@ def verify_proof(params, vk, strategy, instances, transcript,
     for instance in instances:
         if len(instance) != vk.cs.num_instance_columns:
             raise InvalidInstances("instance column count mismatch")
+
+    # Error::InstanceTooLarge (plonk/mod.rs:30-31): instance rows must fit
+    # in the usable region n - (blinding_factors + 1) — rows past it are
+    # reserved for blinding and the permutation's last-row constraints.
+    usable_rows = params.n - (vk.cs.blinding_factors() + 1)
+    for instance in instances:
+        for column in instance:
+            if len(column) > usable_rows:
+                raise InstanceTooLarge(
+                    f"instance column of {len(column)} rows exceeds the "
+                    f"{usable_rows} usable rows of a 2^{params.k} circuit"
+                )
 
     num_proofs = len(instances)
     verify_mo = MULTIOPEN_VERIFIERS[multiopen]

@@ -178,6 +178,68 @@ class ConstraintSystem:
                 return i
         raise KeyError(f"query index not found for {column} rot {rot}")
 
+    def validate_bounds(self) -> None:
+        """Error::BoundsFailure (plonk/mod.rs:25,46): reject any index that
+        points outside the circuit's column/variable/coefficient space
+        before the backend dereferences it. Run at deserialization so a
+        corrupted or adversarial vk fails loudly instead of evaluating
+        garbage (or raising a bare IndexError deep in the replay)."""
+        # lazy: kzg.py imports this module at load time (serde constants)
+        from .kzg import BoundsFailure
+
+        counts = {
+            ADVICE: self.num_advice_columns,
+            FIXED: self.num_fixed_columns,
+            INSTANCE: self.num_instance_columns,
+        }
+        kind_names = {ADVICE: "advice", FIXED: "fixed", INSTANCE: "instance"}
+
+        def check_col(col, where):
+            if col.index >= counts[col.kind]:
+                raise BoundsFailure(
+                    f"{where}: {kind_names[col.kind]} column index "
+                    f"{col.index} >= {counts[col.kind]}"
+                )
+
+        for col, _rot in self.advice_queries:
+            check_col(col, "advice query")
+        for col, _rot in self.instance_queries:
+            check_col(col, "instance query")
+        for col, _rot in self.fixed_queries:
+            check_col(col, "fixed query")
+        for col in self.permutation.columns:
+            check_col(col, "permutation argument")
+        # gates/lookups/shuffles index the flat variable space
+        # advice‖fixed‖instance‖challenge (vk.rs:478-512) and the shared
+        # coefficient pool
+        num_vars = (len(self.advice_queries) + len(self.fixed_queries)
+                    + len(self.instance_queries) + self.num_challenges)
+        num_coeffs = len(self.coeff_vals)
+
+        def check_poly(poly, where):
+            for coeff_idx, term in poly.terms:
+                if coeff_idx >= num_coeffs:
+                    raise BoundsFailure(
+                        f"{where}: coefficient index {coeff_idx} >= "
+                        f"{num_coeffs}"
+                    )
+                for v, _p in term:
+                    if v >= num_vars:
+                        raise BoundsFailure(
+                            f"{where}: variable index {v} >= {num_vars}"
+                        )
+
+        for gate in self.gates:
+            check_poly(gate, "gate")
+        for lookup in self.lookups:
+            for poly in list(lookup.input_expressions) + list(
+                    lookup.table_expressions):
+                check_poly(poly, "lookup")
+        for shuffle in self.shuffles:
+            for poly in list(shuffle.input_expressions) + list(
+                    shuffle.shuffle_expressions):
+                check_poly(poly, "shuffle")
+
     # --------------------------------------------------------------- codec
     def write(self, w: ByteWriter, fmt: str) -> None:
         w.write_u32(self.num_fixed_columns)
@@ -284,6 +346,7 @@ class VerifyingKey:
         fixed_commitments = [read_point(r, fmt) for _ in range(num_fixed)]
         cs_degree = r.read_u32()
         cs = ConstraintSystem.read(r, fmt)
+        cs.validate_bounds()  # Error::BoundsFailure before any dereference
         domain = EvaluationDomain(cs_degree, k)
         permutation = PermutationVerifyingKey.read(r, cs.permutation, fmt)
         selectors = []
