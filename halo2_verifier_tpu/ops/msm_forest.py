@@ -371,12 +371,26 @@ def _fold_pairs(f):
 def _horner_bits(planes, tw):
     """(NLIMBS, tw*WINDOW_BITS) plane sums, (w, b)-major -> window totals
     sum_b 2^b S_b by Horner (double = complete self-add), stacked
-    (3, NLIMBS, tw)."""
+    (3, NLIMBS, tw).
+
+    fori_loop over bit planes, NOT an unrolled Python loop: unrolling
+    inlines 14 complete point adds (each ~12 Montgomery muls) into one
+    graph and XLA compile time explodes superlinearly (the 8-device CPU
+    mesh took 2m36s on this one stage); the loop body compiles the add
+    pair once."""
     p = tuple(c.reshape(NLIMBS, tw, WINDOW_BITS) for c in planes)
     t = tuple(c[:, :, WINDOW_BITS - 1] for c in p)
-    for b in range(WINDOW_BITS - 2, -1, -1):
+
+    def body(i, t):
+        b = WINDOW_BITS - 2 - i
         t = lc.OPS16.add(t, t)
-        t = lc.OPS16.add(t, tuple(c[:, :, b] for c in p))
+        plane = tuple(
+            jax.lax.dynamic_index_in_dim(c, b, axis=2, keepdims=False)
+            for c in p
+        )
+        return lc.OPS16.add(t, plane)
+
+    t = jax.lax.fori_loop(0, WINDOW_BITS - 1, body, t)
     return jnp.stack(t)
 
 

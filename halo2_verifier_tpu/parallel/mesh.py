@@ -341,15 +341,27 @@ def _forest_stages(mesh: Mesh, D: int):
         return jnp.stack(lc.OPS16.add(a, b))[None]
 
     def horner(leaves):
+        # fori_loop over bit planes (see msm_forest._horner_bits): the
+        # unrolled form inlined 14 complete adds and took minutes to
+        # compile on the CPU mesh
         twd = leaves.shape[3] // msm_jax.WINDOW_BITS
         p = tuple(
             leaves[0, c].reshape(NLIMBS, twd, msm_jax.WINDOW_BITS)
             for c in range(3)
         )
         t = tuple(c[:, :, msm_jax.WINDOW_BITS - 1] for c in p)
-        for bbit in range(msm_jax.WINDOW_BITS - 2, -1, -1):
+
+        def body(i, t):
+            bbit = msm_jax.WINDOW_BITS - 2 - i
             t = lc.OPS16.add(t, t)
-            t = lc.OPS16.add(t, tuple(c[:, :, bbit] for c in p))
+            plane = tuple(
+                jax.lax.dynamic_index_in_dim(c, bbit, axis=2,
+                                             keepdims=False)
+                for c in p
+            )
+            return lc.OPS16.add(t, plane)
+
+        t = jax.lax.fori_loop(0, msm_jax.WINDOW_BITS - 1, body, t)
         return jnp.stack(t)[None]
 
     st = {
