@@ -220,6 +220,94 @@ def carry_fold2(x):
     return x
 
 
+# ------------------------------------------------- MXU constant-conv path
+#
+# Montgomery reduction multiplies by CONSTANTS twice per product: m =
+# T_lo * N' mod 2^256 and then m * N. A multiply-by-constant convolution
+# is a matrix-vector product per lane — out[k] = sum_i x[i] * c[k-i] —
+# i.e. a matmul against a constant banded matrix. In 8-bit digits every
+# operand is exact in bfloat16 (ints <= 256) and every accumulated column
+# is exact in the MXU's f32 accumulation (<= 32 * 256 * 255 < 2^22 <
+# 2^24), so two of the three convolutions move off the VPU (the issue-
+# bound unit for this workload) onto the otherwise-idle MXU. The a*b
+# convolution has no constant operand and stays on the VPU.
+
+def _spec_bytemats(spec: FieldSpec):
+    """Constant banded byte matrices: W2 (32,32) for x*N' mod 2^256 and
+    W3 (64,32) for the full x*N, both over interleaved lo/hi byte digits
+    (digit 2i = limb i & 0xFF, digit 2i+1 = limb i >> 8)."""
+    nl, _, nv = _SPEC_INTS[id(spec)]
+
+    def bytes_of(limbs):
+        out = []
+        for v in limbs:
+            out.extend((v & 0xFF, v >> 8))
+        return out
+
+    nb, vb = bytes_of(nl), bytes_of(nv)
+    w3 = np.zeros((2 * K_BYTES, K_BYTES), np.float32)
+    w2 = np.zeros((K_BYTES, K_BYTES), np.float32)
+    for i in range(K_BYTES):
+        for j in range(K_BYTES):
+            w3[i + j, i] = nb[j]
+            if i + j < K_BYTES:
+                w2[i + j, i] = vb[j]
+    return w2, w3
+
+
+K_BYTES = 2 * NLIMBS
+_SPEC_BYTEMATS = {}
+
+
+def _bytemats(spec: FieldSpec):
+    mats = _SPEC_BYTEMATS.get(id(spec))
+    if mats is None:
+        mats = _spec_bytemats(spec)
+        _SPEC_BYTEMATS[id(spec)] = mats
+    return mats
+
+
+def _byte_digits(x):
+    """(NLIMBS, ...) u32 limbs <= 2^16 -> (2*NLIMBS, ...) interleaved lo/hi
+    byte digits (hi may be exactly 256 for the non-canonical 2^16 limb —
+    still bf16-exact)."""
+    lo = x & jnp.uint32(0xFF)
+    hi = x >> 8
+    return jnp.stack([lo, hi], axis=1).reshape(
+        (2 * x.shape[0],) + x.shape[1:]
+    )
+
+
+def _mxu_conv_const(x16, w_np):
+    """Exact multiply-by-constant convolution on the MXU: byte digits in
+    bf16, f32 accumulation, result columns < 2^22 returned as u32."""
+    d = _byte_digits(x16).astype(jnp.bfloat16)
+    w = jnp.asarray(w_np, dtype=jnp.bfloat16)
+    out = jax.lax.dot_general(
+        w, d, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(U32)
+
+
+def _recombine_bytes(cols8):
+    """(2K, ...) byte-weighted columns -> (K, ...) 16-bit-weighted columns
+    (col k = b[2k] + 256*b[2k+1]; bound 2^22 + 2^30 fits u32)."""
+    return cols8[0::2] + (cols8[1::2] << 8)
+
+
+def _mxu_enabled() -> bool:
+    """Default OFF: measured on a real v5e chip the MXU variant is 0.81x
+    the classic VPU body (benchmarks/prof_point_add.py, batch 131072 —
+    the 32-deep contractions underutilize the 128x128 systolic array and
+    the digit converts/recombines eat the VPU savings). Kept env-gated
+    (H2V_MONT_MXU=1) as an exact, tested alternative for future hardware
+    where the trade flips."""
+    import os
+
+    return os.environ.get("H2V_MONT_MXU") == "1"
+
+
 def mont_mul_body(a, b, spec: FieldSpec):
     """Montgomery product a*b*2^-256 mod N on (NLIMBS, B) carried limbs.
 
@@ -256,6 +344,21 @@ def mont_mul_body(a, b, spec: FieldSpec):
         )
         cols = cols + _embed_rows(slab, j, K)
     t = carry_fold2(cols)
+
+    if _mxu_enabled():
+        # constant-operand convolutions on the MXU (see _spec_bytemats):
+        # m = T_lo * N' mod 2^256, then m * N — VPU only folds/recombines
+        w2, w3 = _bytemats(spec)
+        mc = _mxu_conv_const(t[:NLIMBS], w2)        # (32,) byte cols <2^22
+        m = carry_fold2(_recombine_bytes(mc))       # limbs <= 2^16
+        mncols = _recombine_bytes(_mxu_conv_const(m, w3))  # (32,) <2^31
+        total = mncols + t
+        low = carry_fold2(_with_overflow_row(total[:NLIMBS]))
+        carry = low[NLIMBS] + jnp.any(
+            low[:NLIMBS] != 0, axis=0).astype(U32)
+        hi = _bump_row0(total[NLIMBS:], carry[None])
+        hi = carry_prop(hi)
+        return cond_sub_n(hi, spec)
 
     # m = (T mod 2^256) * N' mod 2^256 — low 16 columns only
     tl = t[:NLIMBS]

@@ -243,7 +243,31 @@ class BatchVerifier:
         import os
 
         self.msm_entries_dispatched += s_np.shape[0]
-        forest = os.environ.get("H2V_MSM", "forest") == "forest"
+        mode = os.environ.get("H2V_MSM", "forest")
+        if mode == "host":
+            # exact host MSM (native C++ Pippenger), zero XLA compiles —
+            # for orchestration-logic tests and tiny batches where kernel
+            # compile time dwarfs the arithmetic
+            from ..ops.limbs import limbs_to_ints
+
+            ss = limbs_to_ints(s_np)
+            xs = limbs_to_ints(x_np)
+            ys = limbs_to_ints(y_np)
+            out, off = [], 0
+            for size in sizes:
+                sl = slice(off, off + size)
+                pts = [
+                    (x, y) if (x or y) else None
+                    for x, y in zip(xs[sl], ys[sl])
+                ]
+                pairs = [(s, p) for s, p in zip(ss[sl], pts)
+                         if p is not None]
+                out.append(hc.g1_msm([s for s, _ in pairs],
+                                     [p for _, p in pairs])
+                           if pairs else None)
+                off += size
+            return ("host", out)
+        forest = mode == "forest"
         if self.mesh is None and forest:
             from ..ops import msm_forest
 
@@ -466,6 +490,8 @@ class BatchVerifier:
     def _collect_pair(self, handle):
         """Synchronize a dispatched MSM pair: one fetch, exact host fold."""
         kind, arr = handle
+        if kind == "host":
+            return arr
         if kind == "sharded_grouped":
             from .mesh import combine_sharded_grouped
 

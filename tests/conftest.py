@@ -22,3 +22,23 @@ import jax  # noqa: E402
 # sitecustomize imports jax before this file runs, so env vars set above are
 # too late for jax's config bootstrap — use explicit config updates.
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------- fixtures
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def host_msm_mode():
+    """Route BatchVerifier MSMs to the exact native host path
+    (H2V_MSM=host) for ORCHESTRATION-LOGIC tests: the device kernels get
+    dedicated coverage in test_msm_forest/test_curve_msm_jax/
+    test_parallel/test_lm*; recompiling them per orchestration test was
+    most of the suite's wall time (XLA-CPU compiles, ~minutes each)."""
+    old = os.environ.get("H2V_MSM")
+    os.environ["H2V_MSM"] = "host"
+    yield
+    if old is None:
+        os.environ.pop("H2V_MSM", None)
+    else:
+        os.environ["H2V_MSM"] = old

@@ -2,7 +2,11 @@
 determinism guarantees (SURVEY.md §5: integer kernels must be exactly
 reproducible — same batch twice => identical accumulator bits)."""
 
+import pytest
+
 import numpy as np
+
+pytestmark = pytest.mark.usefixtures("host_msm_mode")
 
 
 def test_public_api_surface():

@@ -16,6 +16,8 @@ from halo2_verifier_tpu.protocol.verifier import verify_proof
 from halo2_verifier_tpu.protocol.vk import VerifyingKey
 from halo2_verifier_tpu.transcript import TRANSCRIPT_READERS, TRANSCRIPT_WRITERS
 
+pytestmark = pytest.mark.usefixtures("host_msm_mode")
+
 
 @pytest.fixture(scope="module")
 def setup():

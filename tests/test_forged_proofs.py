@@ -23,6 +23,8 @@ from halo2_verifier_tpu.prover.srs import load_srs
 from halo2_verifier_tpu.protocol.verifier import verify_proof_single
 from halo2_verifier_tpu.transcript import Blake2bWrite
 
+pytestmark = pytest.mark.usefixtures("host_msm_mode")
+
 
 @pytest.fixture(scope="module")
 def srs8():
