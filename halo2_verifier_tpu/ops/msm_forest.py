@@ -474,11 +474,66 @@ def dispatch_planned(x_np, y_np, plan):
     return _bucket_phase(fin, jnp.asarray(scatter_idx), tw=plan["tw"])
 
 
-def msm_grouped(scalars_np, x_np, y_np, sizes):
+@partial(jax.jit, static_argnames=("fin_lvls", "tw"))
+def _forest_fused(xs, ys, idx0, levels, fin_pos, scatter_idx, *, fin_lvls,
+                  tw):
+    """The WHOLE planned forest + bucket phase as one traced program.
+
+    Identical math to dispatch_planned's per-stage calls (each inner
+    jitted fn inlines under this trace), but the steady-state batch costs
+    ONE host->device launch instead of ~25 — per-launch RPC latency over
+    the accelerator tunnel dominates the device stage at bench shapes
+    (measured ~3.4 ms/launch; see benchmarks/prof_forest_path.py). The
+    Mosaic point-add kernel has one fixed block shape, so the many
+    inlined pallas_calls share one kernel compile."""
+    src = _convert_points(xs, ys)
+    frontiers = [_gather0(src, idx0)]
+    for iL, iR in levels:
+        frontiers.append(_level_add(frontiers[-1], iL, iR))
+    gathered = [
+        _gather0(frontiers[lvl], pos)
+        for lvl, pos in zip(fin_lvls, fin_pos)
+    ]
+    fin = tuple(
+        jnp.concatenate([g[c] for g in gathered], axis=1) for c in range(3)
+    )
+    return _bucket_phase(fin, scatter_idx, tw=tw)
+
+
+def dispatch_planned_fused(x_np, y_np, plan):
+    """One-dispatch variant of dispatch_planned (same plan, same output
+    array). Shape signature = (point_idx0 width, level widths, finished
+    part (level, width) pairs, tw) — all plan-quantized, so repeated
+    batches of one workload reuse a single compiled program."""
+    n_pad = plan["n_pad"]
+    total = x_np.shape[0]
+    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    xs[:, :total] = x_np.T
+    ys[:, :total] = y_np.T
+    levels = tuple(
+        (jnp.asarray(iL), jnp.asarray(iR)) for iL, iR in plan["levels"]
+    )
+    fin_lvls = tuple(int(lvl) for lvl, _pos, _keys in plan["finished"])
+    fin_pos = tuple(
+        jnp.asarray(pos) for _lvl, pos, _keys in plan["finished"]
+    )
+    scatter_idx = np.concatenate(
+        [keys for _lvl, _pos, keys in plan["finished"]]
+    )
+    return _forest_fused(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(plan["point_idx0"]),
+        levels, fin_pos, jnp.asarray(scatter_idx),
+        fin_lvls=fin_lvls, tw=plan["tw"],
+    )
+
+
+def msm_grouped(scalars_np, x_np, y_np, sizes, fused: bool = False):
     """Convenience wrapper: full grouped MSM via the forest path; returns
     a list of per-group affine points ((x, y) ints or None). Synchronizes."""
     from .msm_jax import combine_window_totals_grouped
 
     plan = host_plan(scalars_np, sizes)
-    arr = dispatch_planned(x_np, y_np, plan)
+    dispatch = dispatch_planned_fused if fused else dispatch_planned
+    arr = dispatch(x_np, y_np, plan)
     return combine_window_totals_grouped(arr, len(sizes))

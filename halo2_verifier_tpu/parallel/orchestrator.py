@@ -279,7 +279,15 @@ class BatchVerifier:
             self.point_adds_dispatched += plan["adds"] + (
                 len(sizes) * msm_jax.NUM_WINDOWS * (127 * 8 + 14)
             )
-            arr = msm_forest.dispatch_planned(x_np, y_np, plan)
+            # H2V_FOREST_FUSED=1: the whole forest as ONE traced program
+            # (one launch). Measured SLOWER on v5e (dev ~215 ms vs
+            # ~135 ms per bench batch, benchmarks/prof_forest_path.py):
+            # launch count is not the bottleneck — the per-stage chain
+            # overlaps XLA programs better. Kept as an experiment switch.
+            if os.environ.get("H2V_FOREST_FUSED") == "1":
+                arr = msm_forest.dispatch_planned_fused(x_np, y_np, plan)
+            else:
+                arr = msm_forest.dispatch_planned(x_np, y_np, plan)
             return ("grouped", arr)
         if self.mesh is not None and forest:
             D = self.mesh.devices.size

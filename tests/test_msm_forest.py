@@ -12,12 +12,12 @@ from halo2_verifier_tpu.ops.constants import G1_GEN, R
 from halo2_verifier_tpu.ops.limbs import ints_to_limbs
 
 
-def _check(scalars, pts, sizes):
+def _check(scalars, pts, sizes, fused=False):
     xs = [0 if p is None else p[0] for p in pts]
     ys = [0 if p is None else p[1] for p in pts]
     got = msm_forest.msm_grouped(
         ints_to_limbs([s % R for s in scalars]),
-        ints_to_limbs(xs), ints_to_limbs(ys), sizes,
+        ints_to_limbs(xs), ints_to_limbs(ys), sizes, fused=fused,
     )
     off = 0
     want = []
@@ -36,6 +36,19 @@ def test_random_two_groups(pts20):
     rng = np.random.RandomState(3)
     sc = [int.from_bytes(rng.bytes(32), "little") % R for _ in range(20)]
     _check(sc, pts20, [8, 12])
+
+
+def test_random_two_groups_fused(pts20):
+    # one-launch program (dispatch_planned_fused) vs the host oracle —
+    # must match the per-stage chain bit for bit
+    rng = np.random.RandomState(3)
+    sc = [int.from_bytes(rng.bytes(32), "little") % R for _ in range(20)]
+    _check(sc, pts20, [8, 12], fused=True)
+
+
+def test_edge_cases_fused(pts20):
+    _check([0] * 6 + [5] * 4 + [R - 1] * 10,
+           [None] * 3 + pts20[:17], [10, 10], fused=True)
 
 
 def test_zeros_identities_duplicates(pts20):
