@@ -394,7 +394,16 @@ def _horner_bits(planes, tw):
     return jnp.stack(t)
 
 
-def _bucket_phase(f, scatter_idx, tw):
+def _use_bucket_scan() -> bool:
+    """H2V_BUCKET=scan reverts the bucket phase to the fori_loop
+    suffix-scan pair. Read OUTSIDE any jitted function (the choice must be
+    part of the jit cache key, not baked in at first trace)."""
+    import os
+
+    return os.environ.get("H2V_BUCKET") == "scan"
+
+
+def _bucket_phase(f, scatter_idx, tw, scan=None):
     """Window totals sum_k k*B_k via the bit decomposition
     k = sum_b 2^b bit_b(k): each bit plane S_b = sum of its 128 buckets
     reduces in a balanced 7-level tree (slice-pair adds, no gathers), and
@@ -402,10 +411,12 @@ def _bucket_phase(f, scatter_idx, tw):
     ~tw*(127*8+14) adds vs ~tw*2*255*8 for the summation-by-parts suffix
     scans (arithmetic.rs:86-94) this replaces. The whole phase is static
     given tw, so every level kernel compiles once and is reused by every
-    batch. H2V_BUCKET=scan reverts to the fori_loop suffix-scan pair."""
-    import os
-
-    if os.environ.get("H2V_BUCKET") == "scan":
+    batch. `scan` selects the fallback; None reads H2V_BUCKET (only valid
+    when called OUTSIDE a trace — jitted callers must pass it as a static
+    arg so the choice keys their jit cache)."""
+    if scan is None:
+        scan = _use_bucket_scan()
+    if scan:
         return _bucket_phase_scan(f, scatter_idx, tw=tw)
     leaves = _grid_leaves(f, scatter_idx,
                           jnp.asarray(_bucket_leaf_idx(tw)), tw=tw)
@@ -440,6 +451,22 @@ def _bucket_phase_scan(f, scatter_idx, tw):
     return jnp.stack([c[:, :, 0] for c in totals])  # (3, NLIMBS, tw)
 
 
+def _pad_transpose_points(x_np, y_np, n_pad):
+    """Shared dispatch preamble: (total, NLIMBS) canonical affine limbs ->
+    limbs-major (NLIMBS, n_pad) arrays, identity (0,0) in the pad lanes."""
+    total = x_np.shape[0]
+    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
+    xs[:, :total] = x_np.T
+    ys[:, :total] = y_np.T
+    return xs, ys
+
+
+def _plan_scatter_idx(plan):
+    """Shared dispatch preamble: concatenated finalized-bucket keys."""
+    return np.concatenate([keys for _lvl, _pos, keys in plan["finished"]])
+
+
 def dispatch_planned(x_np, y_np, plan):
     """Device stage: upload + run the planned forest; returns the
     (3, NLIMBS, tw) window-totals device array WITHOUT synchronizing.
@@ -447,12 +474,7 @@ def dispatch_planned(x_np, y_np, plan):
     x_np/y_np: (total, NLIMBS) uint32 CANONICAL affine limbs ((0,0) =
     identity), as the orchestrator assembles them.
     """
-    n_pad = plan["n_pad"]
-    total = x_np.shape[0]
-    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
-    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
-    xs[:, :total] = x_np.T
-    ys[:, :total] = y_np.T
+    xs, ys = _pad_transpose_points(x_np, y_np, plan["n_pad"])
     src = _convert_points(jnp.asarray(xs), jnp.asarray(ys))
     frontiers = [_gather0(src, jnp.asarray(plan["point_idx0"]))]
     for iL, iR in plan["levels"]:
@@ -468,15 +490,13 @@ def dispatch_planned(x_np, y_np, plan):
     fin = tuple(
         jnp.concatenate([g[c] for g in gathered], axis=1) for c in range(3)
     )
-    scatter_idx = np.concatenate(
-        [keys for _lvl, _pos, keys in plan["finished"]]
-    )
-    return _bucket_phase(fin, jnp.asarray(scatter_idx), tw=plan["tw"])
+    return _bucket_phase(fin, jnp.asarray(_plan_scatter_idx(plan)),
+                         tw=plan["tw"])
 
 
-@partial(jax.jit, static_argnames=("fin_lvls", "tw"))
+@partial(jax.jit, static_argnames=("fin_lvls", "tw", "bucket_scan"))
 def _forest_fused(xs, ys, idx0, levels, fin_pos, scatter_idx, *, fin_lvls,
-                  tw):
+                  tw, bucket_scan):
     """The WHOLE planned forest + bucket phase as one traced program.
 
     Identical math to dispatch_planned's per-stage calls (each inner
@@ -497,7 +517,7 @@ def _forest_fused(xs, ys, idx0, levels, fin_pos, scatter_idx, *, fin_lvls,
     fin = tuple(
         jnp.concatenate([g[c] for g in gathered], axis=1) for c in range(3)
     )
-    return _bucket_phase(fin, scatter_idx, tw=tw)
+    return _bucket_phase(fin, scatter_idx, tw=tw, scan=bucket_scan)
 
 
 def dispatch_planned_fused(x_np, y_np, plan):
@@ -505,12 +525,7 @@ def dispatch_planned_fused(x_np, y_np, plan):
     array). Shape signature = (point_idx0 width, level widths, finished
     part (level, width) pairs, tw) — all plan-quantized, so repeated
     batches of one workload reuse a single compiled program."""
-    n_pad = plan["n_pad"]
-    total = x_np.shape[0]
-    xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
-    ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
-    xs[:, :total] = x_np.T
-    ys[:, :total] = y_np.T
+    xs, ys = _pad_transpose_points(x_np, y_np, plan["n_pad"])
     levels = tuple(
         (jnp.asarray(iL), jnp.asarray(iR)) for iL, iR in plan["levels"]
     )
@@ -518,13 +533,10 @@ def dispatch_planned_fused(x_np, y_np, plan):
     fin_pos = tuple(
         jnp.asarray(pos) for _lvl, pos, _keys in plan["finished"]
     )
-    scatter_idx = np.concatenate(
-        [keys for _lvl, _pos, keys in plan["finished"]]
-    )
     return _forest_fused(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(plan["point_idx0"]),
-        levels, fin_pos, jnp.asarray(scatter_idx),
-        fin_lvls=fin_lvls, tw=plan["tw"],
+        levels, fin_pos, jnp.asarray(_plan_scatter_idx(plan)),
+        fin_lvls=fin_lvls, tw=plan["tw"], bucket_scan=_use_bucket_scan(),
     )
 
 

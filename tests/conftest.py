@@ -11,21 +11,47 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
-# deliberately NOT enabled: the zstandard-backed cache reader segfaults
-# intermittently in this environment (crash inside
-# compilation_cache.get_executable_and_time). Cold compiles are slower but
-# reliable.
-
 import jax  # noqa: E402
 
 # sitecustomize imports jax before this file runs, so env vars set above are
 # too late for jax's config bootstrap — use explicit config updates.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: XLA-CPU kernel compiles dominated suite
+# wall time (31 min cold, VERDICT r03 weak #5). The zstandard-backed cache
+# READER segfaults intermittently in this environment (crash inside
+# compilation_cache.get_executable_and_time), so the zstd codec is
+# disabled — the cache falls back to zlib, which is reliable here (the
+# bench uses the same discipline, bench.py _enable_compile_cache).
+# H2V_TEST_CACHE=0 reverts to cold compiles.
+if os.environ.get("H2V_TEST_CACHE", "1") != "0":
+    try:
+        import jax._src.compilation_cache as _cc
+
+        _cc.zstandard = None  # force the zlib codec both ways
+        _cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                                  ".jax_cache")
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization, never a blocker
+
 
 # ---------------------------------------------------------------- fixtures
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def vm_proofs_k8():
+    """3 vector_mul k=8 proofs + (params, vk), loaded from the committed
+    pack params/test_vm_k8_pack.npz (vk-hash-checked; proves live and
+    rewrites the pack on miss/drift). Shared across modules so the suite
+    proves each fixture proof at most once per checkout — live k=8 proving
+    was a large share of suite wall time (VERDICT r03 weak #5)."""
+    from halo2_verifier_tpu.prover.fixtures import vm_k8_batch
+
+    return vm_k8_batch()
 
 
 @pytest.fixture(scope="module")
