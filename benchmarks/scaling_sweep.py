@@ -62,6 +62,8 @@ def main():
     sizes = [half, total - half]
 
     results = {}
+    wire = {}
+    fixed_ms = {}
     d = 1
     while d <= ndev_max:
         mesh = pmesh.make_mesh(d)
@@ -69,12 +71,24 @@ def main():
         arr = pmesh.sharded_forest_by_windows(mesh, xs, ys, ss, sizes)
         arr.block_until_ready()
         t0 = time.time()
+        t_host = 0.0
         for _ in range(args.reps):
-            arr = pmesh.sharded_forest_by_windows(mesh, xs, ys, ss, sizes)
+            stats = {}
+            te = time.time()
+            arr = pmesh.sharded_forest_by_windows(mesh, xs, ys, ss, sizes,
+                                                  stats=stats)
+            t_host += time.time() - te  # plan + upload + enqueue (serial)
             arr.block_until_ready()
         dt = (time.time() - t0) / args.reps
         results[d] = dt
-        print(f"D={d}: {dt*1e3:.1f} ms/batch", flush=True)
+        wire[d] = stats
+        # the D-independent per-batch cost: host planning/upload/enqueue —
+        # the asymptote that bounds strong scaling (VERDICT r03 item 8)
+        fixed_ms[d] = round(1e3 * t_host / args.reps, 2)
+        print(f"D={d}: {dt*1e3:.1f} ms/batch (host fixed "
+              f"{fixed_ms[d]:.1f} ms; collective "
+              f"{stats['collective_bytes_per_chip']} B/chip; fetch "
+              f"{stats['fetch_bytes_per_chip']} B/chip)", flush=True)
         d *= 2
 
     t1 = results[1]
@@ -84,6 +98,10 @@ def main():
         "efficiency": {
             str(d): round(t1 / (d * t), 4) for d, t in results.items()
         },
+        "per_chip_fixed_ms": {str(d): v for d, v in fixed_ms.items()},
+        "wire": {str(d): v for d, v in wire.items()},
+        "collective_bytes_per_msm": wire[max(wire)][
+            "collective_bytes_per_chip"] * max(wire),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out))

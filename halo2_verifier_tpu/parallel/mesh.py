@@ -29,6 +29,51 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+# ------------------------------------------------ multi-process plumbing
+#
+# The same shard_map programs run on a single-process mesh and on a global
+# multi-host mesh (parallel/dist.py). The only difference is array
+# placement: a multi-process jit cannot consume plain numpy inputs (this
+# process does not address every shard), and a host fetch cannot read
+# non-addressable shards. These two helpers are the entire difference —
+# every host value they upload is computed identically on every process
+# (SPMD host replay), so each process can supply any shard from its own
+# full copy.
+
+
+def _multiproc() -> bool:
+    return jax.process_count() > 1
+
+
+def to_global(mesh: Mesh, arr, spec):
+    """Host array -> global device array for `mesh` with PartitionSpec
+    `spec`: plain jnp.asarray in single-process mode;
+    make_array_from_callback (each process supplying its addressable
+    shards from its full host copy) when the mesh spans processes."""
+    if not _multiproc():
+        return jnp.asarray(arr)
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+    )
+
+
+def fetch_global(arr):
+    """np.asarray that also works for multi-process global arrays (gathers
+    non-addressable shards over DCN; every process must call it — true in
+    SPMD replay, where every process runs the same collect)."""
+    import numpy as np
+
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _partial_wt(scalars, xs, ys):
     """shard_map body: per-device Pippenger window totals over this device's
     entry slice; (3, NLIMBS, W) is the only thing that leaves the chip."""
@@ -102,16 +147,16 @@ def sharded_window_totals_presorted(mesh: Mesh, xs, ys, idx_sorted,
             out_specs=P("points"),
         ))
         _SHARDED_PRESORTED_CACHE[cache_key] = fn
-    return fn(xs, ys, idx_sorted, keys_sorted)
+    return fn(to_global(mesh, xs, P()), to_global(mesh, ys, P()),
+              to_global(mesh, idx_sorted, P("points")),
+              to_global(mesh, keys_sorted, P("points")))
 
 
 def combine_sharded_grouped(arr, groups: int):
     """(D, 3, NLIMBS, g*W) -> list of g host affine points: per-device
     window totals summed per window, then Horner-folded (exact host math).
-    ONE device->host fetch."""
-    import numpy as np
-
-    arr_np = np.asarray(arr)
+    ONE device->host fetch (cross-process gather on a multi-host mesh)."""
+    arr_np = fetch_global(arr)
     ndev = arr_np.shape[0]
     W = msm_jax.NUM_WINDOWS
     out = []
@@ -216,12 +261,23 @@ def _pad_plans_uniform(plans):
     return out
 
 
-def sharded_forest_window_totals(mesh: Mesh, x_np, y_np, s_np, sizes):
+def sharded_forest_window_totals(mesh: Mesh, x_np, y_np, s_np, sizes,
+                                 stats: dict | None = None):
     """Forest MSM sharded over the mesh; returns a (D, 3, NLIMBS, tw/D)
     device array (chip d holds windows [d*tw/D, (d+1)*tw/D)) without
     synchronizing. Host side: split points per chip, plan per chip, pad
-    plans to a uniform structure."""
+    plans to a uniform structure.
+
+    stats (optional dict): filled with the wire accounting — host->device
+    upload bytes, per-chip ICI collective bytes (the bucket-grid
+    all_to_all), per-chip fetch bytes, and host plan seconds. These are
+    the D-independent fixed costs that bound scaling efficiency
+    (BASELINE.md metric 3) — reportable even on one chip."""
+    import time as _time
+
     import numpy as np
+
+    _t_plan0 = _time.time()
 
     from ..ops import msm_forest as mf
     from ..ops import lmcurve as lc
@@ -260,29 +316,48 @@ def sharded_forest_window_totals(mesh: Mesh, x_np, y_np, s_np, sizes):
         xs[d, :, :xparts[d].shape[0]] = xparts[d].T
         ys[d, :, :yparts[d].shape[0]] = yparts[d].T
 
+    if stats is not None:
+        lv = plans[0]["levels"]
+        fin = plans[0]["finished"]
+        stats.update(
+            plan_seconds=round(_time.time() - _t_plan0, 6),
+            upload_bytes=int(
+                xs.nbytes + ys.nbytes
+                + D * 4 * (plans[0]["point_idx0"].shape[0]
+                           + 2 * sum(l[0].shape[0] for l in lv)
+                           + 2 * sum(p[1].shape[0] for p in fin))
+            ),
+            # the bucket-grid all_to_all: each chip exchanges its full
+            # (3, NLIMBS, tw, 256) u32 partial grid
+            collective_bytes_per_chip=int(
+                3 * NLIMBS * tw * msm_jax.NUM_BUCKETS * 4
+            ),
+            fetch_bytes_per_chip=int(3 * NLIMBS * (tw // D) * 4),
+        )
+
     # staged SPMD execution: each stage is a SMALL shard_map jit, cached
     # per (mesh, stage) with jax.jit's own shape cache on top — one big
     # fused body would recompile for minutes whenever a level structure
     # changes, and every stage here is reused across width classes
     st = _forest_stages(mesh, D)
-    f = st["convert_gather"](jnp.asarray(xs), jnp.asarray(ys),
-                             jnp.asarray(np.stack(
+    sh = lambda a: to_global(mesh, a, P("points"))  # noqa: E731
+    f = st["convert_gather"](sh(xs), sh(ys),
+                             sh(np.stack(
                                  [p["point_idx0"] for p in plans])))
     frontiers = [f]
     for li in range(len(plans[0]["levels"])):
         iL = np.stack([p["levels"][li][0] for p in plans])
         iR = np.stack([p["levels"][li][1] for p in plans])
-        frontiers.append(st["level_add"](frontiers[-1], jnp.asarray(iL),
-                                         jnp.asarray(iR)))
+        frontiers.append(st["level_add"](frontiers[-1], sh(iL), sh(iR)))
     parts = []
     for pi, (lvl, _pos, _keys) in enumerate(plans[0]["finished"]):
         pos = np.stack([p["finished"][pi][1] for p in plans])
-        parts.append(st["part_gather"](frontiers[lvl], jnp.asarray(pos)))
+        parts.append(st["part_gather"](frontiers[lvl], sh(pos)))
     keys = np.concatenate(
         [np.stack([p["finished"][pi][2] for p in plans])
          for pi in range(len(plans[0]["finished"]))], axis=1)
-    red = st["scatter_exchange"](jnp.asarray(keys), *parts, tw=tw)
-    leaf_idx = jnp.asarray(mf._bucket_leaf_idx(tw // D))
+    red = st["scatter_exchange"](sh(keys), *parts, tw=tw)
+    leaf_idx = to_global(mesh, mf._bucket_leaf_idx(tw // D), P())
     leaves = st["leaf_gather"](red, leaf_idx)
     while leaves.shape[3] > (tw // D) * msm_jax.WINDOW_BITS:
         leaves = st["fold_pairs"](leaves)
@@ -475,14 +550,23 @@ def _forest_stages(mesh: Mesh, D: int):
 # large to replicate.
 
 
-def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes):
+def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes,
+                              stats: dict | None = None):
     """Window-sharded forest MSM; returns (D, 3, NLIMBS, tw/D) without
     synchronizing — chip d holds windows [d*W/D, (d+1)*W/D) of each
-    group. Combine with combine_sharded_windows."""
+    group. Combine with combine_sharded_windows.
+
+    stats (optional dict): wire accounting — host->device upload bytes,
+    per-chip ICI collective bytes (ZERO here: nothing crosses chips),
+    per-chip fetch bytes, host plan seconds. The D-independent fixed
+    costs that bound scaling efficiency (BASELINE.md metric 3)."""
+    import time as _time
+
     import numpy as np
 
     from ..ops import msm_forest as mf
 
+    _t_plan0 = _time.time()
     D = mesh.devices.size
     W = msm_jax.NUM_WINDOWS
     assert W % D == 0, "mesh size must divide NUM_WINDOWS"
@@ -500,25 +584,40 @@ def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes):
     xs[:, :x_np.shape[0]] = x_np.T
     ys[:, :y_np.shape[0]] = y_np.T
 
+    if stats is not None:
+        lv = plans[0]["levels"]
+        fin = plans[0]["finished"]
+        stats.update(
+            plan_seconds=round(_time.time() - _t_plan0, 6),
+            upload_bytes=int(
+                xs.nbytes + ys.nbytes  # replicated point table
+                + D * 4 * (plans[0]["point_idx0"].shape[0]
+                           + 2 * sum(l[0].shape[0] for l in lv)
+                           + 2 * sum(p[1].shape[0] for p in fin))
+            ),
+            collective_bytes_per_chip=0,  # no cross-chip exchange at all
+            fetch_bytes_per_chip=int(3 * NLIMBS * tw_local * 4),
+        )
+
     st = _forest_stages(mesh, D)
+    sh = lambda a: to_global(mesh, a, P("points"))  # noqa: E731
     f = st["convert_gather_rep"](
-        jnp.asarray(xs), jnp.asarray(ys),
-        jnp.asarray(np.stack([p["point_idx0"] for p in plans])))
+        to_global(mesh, xs, P()), to_global(mesh, ys, P()),
+        sh(np.stack([p["point_idx0"] for p in plans])))
     frontiers = [f]
     for li in range(len(plans[0]["levels"])):
         iL = np.stack([p["levels"][li][0] for p in plans])
         iR = np.stack([p["levels"][li][1] for p in plans])
-        frontiers.append(st["level_add"](frontiers[-1], jnp.asarray(iL),
-                                         jnp.asarray(iR)))
+        frontiers.append(st["level_add"](frontiers[-1], sh(iL), sh(iR)))
     parts = []
     for pi, (lvl, _pos, _keys) in enumerate(plans[0]["finished"]):
         pos = np.stack([p["finished"][pi][1] for p in plans])
-        parts.append(st["part_gather"](frontiers[lvl], jnp.asarray(pos)))
+        parts.append(st["part_gather"](frontiers[lvl], sh(pos)))
     keys = np.concatenate(
         [np.stack([p["finished"][pi][2] for p in plans])
          for pi in range(len(plans[0]["finished"]))], axis=1)
-    red = st["scatter_local"](jnp.asarray(keys), *parts, tw=tw_local)
-    leaf_idx = jnp.asarray(mf._bucket_leaf_idx(tw_local))
+    red = st["scatter_local"](sh(keys), *parts, tw=tw_local)
+    leaf_idx = to_global(mesh, mf._bucket_leaf_idx(tw_local), P())
     leaves = st["leaf_gather"](red, leaf_idx)
     while leaves.shape[3] > tw_local * msm_jax.WINDOW_BITS:
         leaves = st["fold_pairs"](leaves)
@@ -528,10 +627,11 @@ def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes):
 def combine_sharded_windows(arr, groups: int):
     """(D, 3, NLIMBS, groups*wpc) per-chip window totals -> per-group host
     affine points. Chip d's local window g*wpc+j is global window
-    d*wpc+j of group g. ONE fetch."""
+    d*wpc+j of group g. ONE fetch (cross-process gather on a multi-host
+    mesh)."""
     import numpy as np
 
-    arr_np = np.asarray(arr)
+    arr_np = fetch_global(arr)
     D = arr_np.shape[0]
     W = msm_jax.NUM_WINDOWS
     wpc = arr_np.shape[3] // groups
@@ -559,7 +659,7 @@ def combine_sharded_forest(arr, groups: int):
     axis concatenates back into global window order. ONE fetch."""
     import numpy as np
 
-    arr_np = np.asarray(arr)  # (D, 3, NLIMBS, twd)
+    arr_np = fetch_global(arr)  # (D, 3, NLIMBS, twd)
     full = np.concatenate([arr_np[d] for d in range(arr_np.shape[0])],
                           axis=2)  # (3, NLIMBS, tw)
     return msm_jax.combine_window_totals_grouped(full, groups)

@@ -291,22 +291,33 @@ class BatchVerifier:
             return ("grouped", arr)
         if self.mesh is not None and forest:
             D = self.mesh.devices.size
-            if msm_jax.NUM_WINDOWS % D == 0:
+            # H2V_MESH_SHARD=windows|forest|scan forces a specific sharded
+            # dispatch kind (tests exercise each; production auto-selects:
+            # windows when D divides NUM_WINDOWS, else point-sharded
+            # forest, else the presorted scan)
+            pref = os.environ.get("H2V_MESH_SHARD")
+            if (pref in (None, "windows")
+                    and msm_jax.NUM_WINDOWS % D == 0):
                 # preferred: window sharding — no collective, per-chip
                 # work (forest + bucket phase) all scales 1/D
                 from .mesh import sharded_forest_by_windows
 
+                self.mesh_wire_stats = {}
                 arr = sharded_forest_by_windows(
-                    self.mesh, x_np, y_np, s_np, sizes
+                    self.mesh, x_np, y_np, s_np, sizes,
+                    stats=self.mesh_wire_stats,
                 )
                 return ("sharded_windows", arr)
-            if (len(sizes) * msm_jax.NUM_WINDOWS) % D == 0:
+            if (pref in (None, "forest")
+                    and (len(sizes) * msm_jax.NUM_WINDOWS) % D == 0):
                 # fallback for D > NUM_WINDOWS or huge point tables:
                 # point sharding + all_to_all bucket exchange
                 from .mesh import sharded_forest_window_totals
 
+                self.mesh_wire_stats = {}
                 arr = sharded_forest_window_totals(
-                    self.mesh, x_np, y_np, s_np, sizes
+                    self.mesh, x_np, y_np, s_np, sizes,
+                    stats=self.mesh_wire_stats,
                 )
                 return ("sharded_forest", arr)
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
@@ -335,8 +346,7 @@ class BatchVerifier:
                     np.full(rem, keys_sorted[-1], keys_sorted.dtype),
                 ])
             arr = sharded_window_totals_presorted(
-                self.mesh, jnp.asarray(x_np), jnp.asarray(y_np),
-                jnp.asarray(idx_sorted), jnp.asarray(keys_sorted),
+                self.mesh, x_np, y_np, idx_sorted, keys_sorted,
                 total_windows=2 * msm_jax.NUM_WINDOWS, levels=levels,
             )
             return ("sharded_grouped", arr)
