@@ -288,7 +288,7 @@ class BatchVerifier:
                 arr = msm_forest.dispatch_planned_fused(x_np, y_np, plan)
             else:
                 arr = msm_forest.dispatch_planned(x_np, y_np, plan)
-            return ("grouped", arr)
+            return ("grouped", self._prefetch_d2h(arr))
         if self.mesh is not None and forest:
             D = self.mesh.devices.size
             # H2V_MESH_SHARD=windows|forest|scan forces a specific sharded
@@ -307,7 +307,7 @@ class BatchVerifier:
                     self.mesh, x_np, y_np, s_np, sizes,
                     stats=self.mesh_wire_stats,
                 )
-                return ("sharded_windows", arr)
+                return ("sharded_windows", self._prefetch_d2h(arr))
             if (pref in (None, "forest")
                     and (len(sizes) * msm_jax.NUM_WINDOWS) % D == 0):
                 # fallback for D > NUM_WINDOWS or huge point tables:
@@ -319,7 +319,7 @@ class BatchVerifier:
                     self.mesh, x_np, y_np, s_np, sizes,
                     stats=self.mesh_wire_stats,
                 )
-                return ("sharded_forest", arr)
+                return ("sharded_forest", self._prefetch_d2h(arr))
         idx_sorted, keys_sorted, levels = msm_jax.host_plan(s_np, sizes)
         if self.mesh is not None:
             from .mesh import sharded_window_totals_presorted
@@ -349,11 +349,25 @@ class BatchVerifier:
                 self.mesh, x_np, y_np, idx_sorted, keys_sorted,
                 total_windows=2 * msm_jax.NUM_WINDOWS, levels=levels,
             )
-            return ("sharded_grouped", arr)
+            return ("sharded_grouped", self._prefetch_d2h(arr))
         arr = msm_jax.msm_window_totals_grouped(
             x_np, y_np, idx_sorted, keys_sorted, groups=2, levels=levels
         )
-        return ("grouped", arr)
+        return ("grouped", self._prefetch_d2h(arr))
+
+    @staticmethod
+    def _prefetch_d2h(arr):
+        """Enqueue the device->host copy of a window-totals array right at
+        dispatch time: the runtime transfers as soon as the kernels
+        finish, so the later collect's np.asarray finds the host copy
+        ready instead of paying the fetch RTT after the sync (~28 ms per
+        batch over the tunneled chip, benchmarks/prof_forest_path.py
+        r04)."""
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+        return arr
 
     def _decomp_enabled(self) -> bool:
         """Device G1-decompression pre-pass (ops/decomp_jax.py): on by
@@ -576,16 +590,22 @@ class BatchVerifier:
             for batch in batches:
                 yield self._verify_individually(batch)
             return
+        import os
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        # finish (device sync + fetch + pairing) runs on a worker thread so
+        # finish (device sync + fetch + pairing) runs on worker threads so
         # it overlaps the NEXT batch's replay — both sides release the GIL
-        # (native VM call; device transfer; native pairing)
-        executor = ThreadPoolExecutor(max_workers=1)
+        # (native VM call; device transfer; native pairing). TWO workers /
+        # two batches in flight: batch k's pairing (~14 ms) overlaps batch
+        # k+1's device wait instead of serializing after it on one worker
+        # (prof_forest_path r04: the finish thread is the critical path).
+        depth = max(1, int(os.environ.get("H2V_STREAM_DEPTH", "2")))
+        executor = ThreadPoolExecutor(max_workers=depth)
         # decomp fetches get their own worker: the y-array transfer for
         # batch k+1 overlaps batch k's replay/dispatch on the main thread
         decomp_executor = ThreadPoolExecutor(max_workers=1)
-        pending = None  # Future[BatchResult]
+        pending = deque()  # FIFO of Future[BatchResult], <= depth deep
         stream_pads = (pad_to, pad_to) if pad_to is not None else None
 
         def batches_with_decomp():
@@ -613,28 +633,25 @@ class BatchVerifier:
                     fast = self._fast_stream_dispatch(batch, stream_pads,
                                                       ext_y_fut)
                 except VerifyFailure:
-                    if pending is not None:
-                        yield pending.result()
-                        pending = None
+                    while pending:
+                        yield pending.popleft().result()
                     yield self._verify_individually(batch)
                     continue
                 if fast is not None:
                     handle, pads = fast
                     stream_pads = stream_pads or pads
-                    fut = executor.submit(
+                    pending.append(executor.submit(
                         self._finish_pipelined, batch, None,
                         max(stream_pads), handle, localize,
-                    )
-                    if pending is not None:
-                        yield pending.result()
-                    pending = fut
+                    ))
+                    while len(pending) > depth:
+                        yield pending.popleft().result()
                     continue
                 try:
                     duals = self.replay(batch)
                 except Exception:
-                    if pending is not None:
-                        yield pending.result()
-                        pending = None
+                    while pending:
+                        yield pending.popleft().result()
                     yield self._verify_individually(batch)
                     continue
                 weights = [self._rng() for _ in duals]
@@ -657,15 +674,14 @@ class BatchVerifier:
                 with self.timings.stage("device_msm_dispatch"):
                     handle = self._msm_dispatch_pair(left, right,
                                                      stream_pads)
-                fut = executor.submit(
+                pending.append(executor.submit(
                     self._finish_pipelined, batch, duals,
                     max(stream_pads), handle, localize,
-                )
-                if pending is not None:
-                    yield pending.result()
-                pending = fut
-            if pending is not None:
-                yield pending.result()
+                ))
+                while len(pending) > depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
         finally:
             executor.shutdown(wait=True)
             decomp_executor.shutdown(wait=True)
