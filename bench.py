@@ -53,13 +53,17 @@ import sys
 import time
 
 T0 = time.time()
-DEADLINE = float(os.environ.get("H2V_BENCH_DEADLINE", "480"))
+DEADLINE = float(os.environ.get("H2V_BENCH_DEADLINE", "520"))
 
-BATCH = int(os.environ.get("H2V_BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("H2V_BENCH_BATCH", "1024"))
 #                ^ proofs per stream batch (one device dispatch + pairing);
 #                  batches larger than the fixture pack tile it (fresh
-#                  random isolation weights keep the device work real)
-NUM_BATCHES = int(os.environ.get("H2V_BENCH_NUM_BATCHES", "7"))
+#                  random isolation weights keep the device work real).
+#                  1024 is the measured throughput knee on v5e: per-batch
+#                  fixed costs (launch chain, fetch RTT, pairing)
+#                  amortize ~2x over 256 while 2048 adds only warmup time
+#                  (see benchmarks/RESULTS.md r04 batch sweep)
+NUM_BATCHES = int(os.environ.get("H2V_BENCH_NUM_BATCHES", "9"))
 #                ^ first is compile/fill, the rest are measured (fewer if
 #                  the self-deadline would be exceeded)
 

@@ -42,6 +42,31 @@ if os.environ.get("H2V_TEST_CACHE", "1") != "0":
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy_compile: XLA-compile-dominated device-kernel test — skipped "
+        "in the fast default suite; H2V_FULL_SUITE=1 runs everything",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default suite (VERDICT r03 weak #5: 31-min suites stop being
+    run). Tests marked heavy_compile — the multi-minute XLA-CPU kernel
+    compiles whose device paths are ALSO exercised by the driver dryrun,
+    the bench, and the quick parity tests kept in the default set — only
+    run with H2V_FULL_SUITE=1. Every marked test still gates releases:
+    run the full suite after kernel/mesh changes."""
+    if os.environ.get("H2V_FULL_SUITE") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="compile-heavy; set H2V_FULL_SUITE=1 to run the full suite"
+    )
+    for item in items:
+        if "heavy_compile" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def vm_proofs_k8():
     """3 vector_mul k=8 proofs + (params, vk), loaded from the committed

@@ -23,10 +23,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 KINDS = [
-    # (expected dispatch kind, env forcing it)
-    ("sharded_windows", {"H2V_MESH_SHARD": "windows"}),
-    ("sharded_forest", {"H2V_MESH_SHARD": "forest"}),
-    ("sharded_grouped", {"H2V_MSM": "scan"}),
+    # (expected dispatch kind, env forcing it). The production default
+    # (window sharding) stays in the fast suite; the fallback kinds
+    # compile their own kernel sets and are full-suite only
+    # (H2V_FULL_SUITE=1, see conftest heavy_compile).
+    pytest.param("sharded_windows", {"H2V_MESH_SHARD": "windows"},
+                 id="sharded_windows"),
+    pytest.param("sharded_forest", {"H2V_MESH_SHARD": "forest"},
+                 id="sharded_forest", marks=pytest.mark.heavy_compile),
+    pytest.param("sharded_grouped", {"H2V_MSM": "scan"},
+                 id="sharded_grouped", marks=pytest.mark.heavy_compile),
 ]
 
 
@@ -57,7 +63,7 @@ def _spy_dispatch(bv):
     return seen
 
 
-@pytest.mark.parametrize("kind,env", KINDS, ids=[k for k, _ in KINDS])
+@pytest.mark.parametrize("kind,env", KINDS)
 def test_mesh_accumulator_points_match_single_chip(vm_proofs_k8, kind, env,
                                                    monkeypatch):
     """The mesh path must produce bit-identical DualMSM accumulator points
@@ -84,7 +90,7 @@ def test_mesh_accumulator_points_match_single_chip(vm_proofs_k8, kind, env,
     assert (left, right) == (ref_left, ref_right)
 
 
-@pytest.mark.parametrize("kind,env", KINDS, ids=[k for k, _ in KINDS])
+@pytest.mark.parametrize("kind,env", KINDS)
 def test_mesh_batch_verify_ok(vm_proofs_k8, kind, env, monkeypatch):
     """Full verify() on the mesh: proofs in, sharded MSM, pairing verdict
     out — for every sharded dispatch kind."""

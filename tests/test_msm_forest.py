@@ -38,6 +38,7 @@ def test_random_two_groups(pts20):
     _check(sc, pts20, [8, 12])
 
 
+@pytest.mark.heavy_compile
 def test_random_two_groups_fused(pts20):
     # one-launch program (dispatch_planned_fused) vs the host oracle —
     # must match the per-stage chain bit for bit
@@ -46,6 +47,7 @@ def test_random_two_groups_fused(pts20):
     _check(sc, pts20, [8, 12], fused=True)
 
 
+@pytest.mark.heavy_compile
 def test_edge_cases_fused(pts20):
     _check([0] * 6 + [5] * 4 + [R - 1] * 10,
            [None] * 3 + pts20[:17], [10, 10], fused=True)
@@ -56,6 +58,7 @@ def test_zeros_identities_duplicates(pts20):
            [None] * 3 + pts20[:17], [10, 10])
 
 
+@pytest.mark.heavy_compile
 def test_equal_scalars_worst_depth(pts20):
     # every window's entries land in one bucket: deepest possible forest
     _check([7] * 20, [pts20[0]] * 20, [20])

@@ -189,6 +189,7 @@ def test_two_process_group_over_loopback_dcn(tmp_path):
         assert f"MULTIHOST_OK pid={pid} nproc=2" in out, out
 
 
+@pytest.mark.heavy_compile
 def test_production_msm_and_verify_across_processes(tmp_path):
     """The PRODUCTION path on the 2-process global mesh: the window-sharded
     forest MSM differentially vs the host oracle, then a full
