@@ -28,16 +28,15 @@ kernel and fills the pipeline and is excluded; the measured figure is the
 steady-state rate over the remaining batches.
 
 Self-deadline: the whole run fits H2V_BENCH_DEADLINE seconds (default
-480). The probe budget, warmup, and the number of measured batches adapt
-to the time remaining; the run ends early with whatever it measured
-rather than letting an external timeout erase the result.
+520). The probe budget and the number of measured batches adapt to the
+time remaining; the run ends early with whatever it measured rather than
+letting an external timeout erase the result. Cold-start budget on the
+real chip: ~450 s of XLA/Mosaic compiles at BATCH=1024 shapes, then
+~0.25 s per measured batch.
 
-Compile cache: XLA compiles of the k=14 stream kernels are the dominant
-cold-start cost, so the run enables JAX's persistent compilation cache at
-.jax_cache/ (zlib-compressed: the zstandard reader segfaults in this
-environment, see tests/conftest.py). A warmed cache cuts the
-compile+first-batch stage from minutes to seconds. H2V_BENCH_CACHE=0
-disables.
+Compile cache: enabled only for CPU (degraded) runs. On the tunneled TPU
+backend cache WRITES work but READS hang intermittently, which is
+strictly worse than the cold compile — see _enable_compile_cache.
 
 Degraded mode: if the accelerator tunnel never responds (bounded probe
 with retries — the probe child is never killed: signalling a TPU client

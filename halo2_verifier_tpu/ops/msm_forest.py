@@ -61,9 +61,56 @@ def host_plan(scalars_np, groups, quant: int | None = None,
     [d*W/D, (d+1)*W/D) of every group (keys local to the subset)."""
     plan = _host_plan_native(scalars_np, groups, quant, window_lo,
                              window_count)
-    if plan is not None:
-        return plan
-    return host_plan_np(scalars_np, groups, quant, window_lo, window_count)
+    if plan is None:
+        plan = host_plan_np(scalars_np, groups, quant, window_lo,
+                            window_count)
+    return _canonicalize_plan(plan)
+
+
+def _canonicalize_plan(plan):
+    """Pin the plan's SHAPE SIGNATURE across batches of one workload.
+
+    The level count and the set of levels carrying finished parts wobble
+    with the batch's random isolation weights (e.g. 8 vs 9 levels, a
+    level-0 part present or not) — each flip retraces/recompiles a stage
+    program MID-STREAM (~2.8 s stalls observed on the v5e bench runs).
+    Canonical form: level count padded to a multiple of 3 with identity
+    no-op levels (id-slot gathers — the trailing frontier pad slots are
+    identities by induction), and a (dump-keyed, identity-gathering)
+    finished part at EVERY level. Device cost of the padding is a few
+    thousand absorbed identity adds; the payoff is one compiled program
+    per workload instead of one per plan shape."""
+    levels = list(plan["levels"])
+    widths = [plan["point_idx0"].shape[0]] + [l[0].shape[0] for l in levels]
+    target = -(-max(len(levels), 1) // 3) * 3
+    pad_adds = 0
+    for _ in range(len(levels), target):
+        prev_w = widths[-1]
+        # dummy width = input width: matches what a REAL extra level would
+        # quantize to at these shapes, so 8- and 9-level plans land on the
+        # same signature instead of a floor-width odd one out
+        iL = np.full(prev_w, prev_w - 1, dtype=np.int32)
+        levels.append((iL, iL.copy()))
+        widths.append(prev_w)
+        pad_adds += prev_w
+    fin_quant = min(
+        (pos.shape[0] for _lvl, pos, _k in plan["finished"]), default=2048
+    )
+    dump = plan["tw"] * NUM_BUCKETS
+    finished = list(plan["finished"])
+    have = {lvl for lvl, _pos, _k in finished}
+    for lvl in range(len(levels) + 1):
+        if lvl not in have:
+            finished.append((
+                lvl,
+                np.full(fin_quant, widths[lvl] - 1, dtype=np.int32),
+                np.full(fin_quant, dump, dtype=np.int32),
+            ))
+    finished.sort(key=lambda t: t[0])
+    plan["levels"] = levels
+    plan["finished"] = finished
+    plan["adds"] = plan["adds"] + pad_adds
+    return plan
 
 
 def _host_plan_native(scalars_np, groups, quant=None, window_lo=0,
