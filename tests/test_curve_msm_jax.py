@@ -59,7 +59,11 @@ def test_complete_double():
     assert got == [hc.g1_double(p) for p in pts]
 
 
-@pytest.mark.parametrize("n", [1, 7, 64])
+@pytest.mark.parametrize("n", [
+    pytest.param(1, marks=pytest.mark.heavy_compile),
+    pytest.param(7, marks=pytest.mark.heavy_compile),
+    64,
+])
 def test_msm_matches_host(n):
     scalars = [rng.randrange(R) for _ in range(n)]
     points = [hc.g1_mul(G1_GEN, rng.randrange(1, R)) for _ in range(n)]

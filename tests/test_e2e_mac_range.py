@@ -59,12 +59,18 @@ def test_out_of_range_witness_rejected(setup):
         _prove(pk, asg)
 
 
-def test_batch_stream_and_localization(setup):
+def test_batch_stream_and_localization(setup, host_msm_mode):
+    """Stream + localization semantics on the bench circuit. Proofs come
+    from the committed pack (params/test_mac_k9_pack.npz) and MSMs run on
+    the exact native host path (host_msm_mode): this test is about
+    ORCHESTRATION correctness — the k-class device kernels get dedicated
+    coverage in test_msm_forest / test_mesh_e2e and the bench itself
+    (was 217 s of live proving + XLA compiles, VERDICT r03 weak #5)."""
+    from halo2_verifier_tpu.prover.fixtures import load_or_build_pack
+
     params, pk, mk = setup
-    batch = []
-    for i in range(6):
-        asg = mk(10 + i)
-        batch.append((_prove(pk, asg, seed=str(i).encode()), asg.instance))
+    batch = load_or_build_pack("test_mac_k9_pack", pk, mk,
+                               list(range(10, 16)))
     bv = BatchVerifier(params, pk.vk)
     results = list(bv.verify_stream(iter([batch, batch]), localize=True))
     assert [(r.ok, r.num_proofs) for r in results] == [(True, 6), (True, 6)]

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy_compile
+
 from halo2_verifier_tpu.ops import lmfield as lf
 from halo2_verifier_tpu.ops.constants import P, R
 from halo2_verifier_tpu.ops.field_jax import FQ, FR

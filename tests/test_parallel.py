@@ -30,8 +30,12 @@ def _device_entries(scalars, points):
     return S, X, Y
 
 
+@pytest.mark.heavy_compile
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_msm_matches_single_chip():
+    """Legacy full-scan sharded path (sharded_window_totals); the
+    production window-sharded forest is covered by test_mesh_e2e's
+    default set, so this compile-heavy variant is full-suite only."""
     from halo2_verifier_tpu.parallel.mesh import (
         make_mesh, pad_entries, sharded_msm,
     )
