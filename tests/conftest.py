@@ -56,7 +56,9 @@ def pytest_collection_modifyitems(config, items):
     compiles whose device paths are ALSO exercised by the driver dryrun,
     the bench, and the quick parity tests kept in the default set — only
     run with H2V_FULL_SUITE=1. Every marked test still gates releases:
-    run the full suite after kernel/mesh changes."""
+    run the full suite after kernel/mesh changes — as TWO processes
+    (sh tests/run_full_suite.sh): a single process running everything
+    hit the known late-compile XLA-CPU segfault (r04)."""
     if os.environ.get("H2V_FULL_SUITE") == "1":
         return
     skip = pytest.mark.skip(
