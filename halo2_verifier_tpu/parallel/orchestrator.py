@@ -362,7 +362,11 @@ class BatchVerifier:
         finish, so the later collect's np.asarray finds the host copy
         ready instead of paying the fetch RTT after the sync (~28 ms per
         batch over the tunneled chip, benchmarks/prof_forest_path.py
-        r04)."""
+        r04). H2V_D2H_PREFETCH=0 disables (A/B harness)."""
+        import os
+
+        if os.environ.get("H2V_D2H_PREFETCH") == "0":
+            return arr
         try:
             arr.copy_to_host_async()
         except AttributeError:
