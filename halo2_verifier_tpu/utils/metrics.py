@@ -4,6 +4,7 @@ breakdowns to steer optimization)."""
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -14,6 +15,10 @@ from dataclasses import dataclass, field
 class StageTimings:
     totals: dict = field(default_factory=lambda: defaultdict(float))
     counts: dict = field(default_factory=lambda: defaultdict(int))
+    # stages run concurrently on the stream pipeline's worker threads;
+    # dict-entry += is load/add/store and can lose updates without this
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False, compare=False)
 
     @contextmanager
     def stage(self, name: str):
@@ -22,8 +27,9 @@ class StageTimings:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def report(self) -> dict:
         return {
