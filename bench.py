@@ -319,6 +319,18 @@ def main():
 
     from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
 
+    try:
+        # warm-start status: committed AOT executables for this device
+        # fingerprint (utils/aotcache.py) — when present, the stream
+        # kernels load in ~0.1 s each instead of ~20-30 s compiles
+        from halo2_verifier_tpu.utils.aotcache import pack_inventory
+
+        inv = pack_inventory()
+        detail["aot"] = {"entries": inv["entries"],
+                         "mb": round(inv["bytes"] / 1e6, 1)}
+    except Exception:
+        pass
+
     bv = BatchVerifier(params, vk)
     state = {"served": 0}
 

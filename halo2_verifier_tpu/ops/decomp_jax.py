@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import lmfield as lf
+from ..utils.aotcache import aot_jit
 from .constants import P
 from .field_jax import FQ
 from .limbs import NLIMBS, int_to_limbs
@@ -49,7 +50,7 @@ def _pow_bits(a, bits, spec):
     return result
 
 
-@jax.jit
+@aot_jit
 def _y_principal(xs):
     """(NLIMBS, B) canonical x limbs -> (NLIMBS, B) canonical principal
     roots y0 = (x^3+3)^((q+1)/4). For non-residue x^3+3 (or x not a valid

@@ -40,6 +40,7 @@ import numpy as np
 
 from . import lmcurve as lc
 from . import lmfield as lf
+from ..utils.aotcache import aot_jit
 from .field_jax import FQ
 from .limbs import LIMB_BITS, NLIMBS
 from .msm_jax import NUM_BUCKETS, NUM_WINDOWS, WINDOW_BITS
@@ -337,7 +338,7 @@ def host_plan_np(scalars_np, groups, quant: int | None = None,
     }
 
 
-@jax.jit
+@aot_jit
 def _convert_points(xs, ys):
     """(NLIMBS, n_pad) canonical affine limbs -> projective Montgomery
     frontier source; (0,0) lanes (incl. the identity pad) -> identity."""
@@ -348,12 +349,12 @@ def _convert_points(xs, ys):
     return lc.from_affine(gx, gy)
 
 
-@jax.jit
+@aot_jit
 def _gather0(src, idx0):
     return tuple(c[:, idx0] for c in src)
 
 
-@jax.jit
+@aot_jit
 def _level_add(f, iL, iR):
     a = tuple(c[:, iL] for c in f)
     b = tuple(c[:, iR] for c in f)
@@ -386,7 +387,7 @@ def _bucket_leaf_idx(tw: int):
     return idx
 
 
-@partial(jax.jit, static_argnames=("tw",))
+@aot_jit(static_argnames=("tw",))
 def _grid_leaves(f, scatter_idx, leaf_idx, tw):
     """Scatter the finalized bucket entries into the (tw, NUM_BUCKETS)
     grid (empty buckets patched to the projective identity), then gather
@@ -406,7 +407,7 @@ def _grid_leaves(f, scatter_idx, leaf_idx, tw):
     return tuple(c[:, leaf_idx] for c in grid)
 
 
-@jax.jit
+@aot_jit
 def _fold_pairs(f):
     """One balanced tree level: add even/odd neighbour columns."""
     a = tuple(c[:, 0::2] for c in f)
@@ -414,7 +415,7 @@ def _fold_pairs(f):
     return lc.OPS16.add(a, b)
 
 
-@partial(jax.jit, static_argnames=("tw",))
+@aot_jit(static_argnames=("tw",))
 def _horner_bits(planes, tw):
     """(NLIMBS, tw*WINDOW_BITS) plane sums, (w, b)-major -> window totals
     sum_b 2^b S_b by Horner (double = complete self-add), stacked
@@ -541,6 +542,87 @@ def dispatch_planned(x_np, y_np, plan):
                          tw=plan["tw"])
 
 
+# --------------------------------------------------------- partial fusion
+#
+# The r04 driver bench was launch-bound (~25 dispatches/batch over a
+# 2.5-8 ms/launch tunnel floor) AND compile-bound at cold start (~25
+# distinct stage programs x ~20-30 s each; the Mosaic point-add kernel is
+# recompiled inside every program — benchmarks/exp_compile_r05.py). The
+# all-or-nothing fusion (_forest_fused) lost steady-state (no cross-
+# program overlap, 0.63x); the middle ground fuses THREE forest levels
+# (plus their finished-part gathers) per program — the canonicalized plan
+# (_canonicalize_plan) pads the level count to a multiple of 3 precisely
+# so these triple signatures stay stable across batches. Launches per
+# batch: head + L/3 triples + tail ~= 5-6 instead of ~25; distinct
+# compiled programs shrink the same way.
+
+
+@aot_jit
+def _stage_head(xs, ys, idx0):
+    """convert + initial gather as one program: canonical affine limbs ->
+    level-0 frontier."""
+    src = _convert_points.fn(xs, ys)
+    return tuple(c[:, idx0] for c in src)
+
+
+@aot_jit
+def _stage_levels3(f, trip, fins):
+    """Three forest levels + their finished-part gathers in one program.
+
+    trip: ((iL, iR),) x3 gather pairs; fins: (pos,) x3 finished-part
+    positions, fins[j] gathering from the frontier BEFORE level j's add
+    (i.e. plan level t+j). Returns (next frontier, 3 finished parts)."""
+    parts = []
+    for (iL, iR), pos in zip(trip, fins):
+        parts.append(tuple(c[:, pos] for c in f))
+        a = tuple(c[:, iL] for c in f)
+        b = tuple(c[:, iR] for c in f)
+        f = lc.OPS16.add(a, b)
+    return f, tuple(parts)
+
+
+@aot_jit(static_argnames=("tw", "bucket_scan"))
+def _stage_tail(f_last, pos_last, parts, scatter_idx, *, tw, bucket_scan):
+    """Deepest finished-part gather + concat + the whole bucket phase
+    (grid scatter, bit-plane tree, Horner) as one program."""
+    parts = tuple(parts) + (tuple(c[:, pos_last] for c in f_last),)
+    fin = tuple(
+        jnp.concatenate([g[c] for g in parts], axis=1) for c in range(3)
+    )
+    return _bucket_phase(fin, scatter_idx, tw=tw, scan=bucket_scan)
+
+
+def dispatch_planned_fuse3(x_np, y_np, plan):
+    """Partial-fusion variant of dispatch_planned: identical math and
+    output, ~5-6 launches per batch instead of ~25. Requires the
+    canonicalized plan shape (level count % 3 == 0, one finished part per
+    level 0..L sorted) that host_plan always produces."""
+    levels = plan["levels"]
+    parts = plan["finished"]
+    L = len(levels)
+    if L % 3 != 0 or len(parts) != L + 1 or any(
+        parts[i][0] != i for i in range(L + 1)
+    ):
+        # non-canonical plan (e.g. a hand-built test plan): exact fallback
+        return dispatch_planned(x_np, y_np, plan)
+    xs, ys = _pad_transpose_points(x_np, y_np, plan["n_pad"])
+    f = _stage_head(jnp.asarray(xs), jnp.asarray(ys),
+                    jnp.asarray(plan["point_idx0"]))
+    out_parts = []
+    for t in range(0, L, 3):
+        trip = tuple(
+            (jnp.asarray(iL), jnp.asarray(iR)) for iL, iR in levels[t:t + 3]
+        )
+        fins = tuple(jnp.asarray(parts[t + j][1]) for j in range(3))
+        f, outs = _stage_levels3(f, trip, fins)
+        out_parts.extend(outs)
+    return _stage_tail(
+        f, jnp.asarray(parts[L][1]), tuple(out_parts),
+        jnp.asarray(_plan_scatter_idx(plan)),
+        tw=plan["tw"], bucket_scan=_use_bucket_scan(),
+    )
+
+
 @partial(jax.jit, static_argnames=("fin_lvls", "tw", "bucket_scan"))
 def _forest_fused(xs, ys, idx0, levels, fin_pos, scatter_idx, *, fin_lvls,
                   tw, bucket_scan):
@@ -587,12 +669,20 @@ def dispatch_planned_fused(x_np, y_np, plan):
     )
 
 
-def msm_grouped(scalars_np, x_np, y_np, sizes, fused: bool = False):
+def msm_grouped(scalars_np, x_np, y_np, sizes, fused=False):
     """Convenience wrapper: full grouped MSM via the forest path; returns
-    a list of per-group affine points ((x, y) ints or None). Synchronizes."""
+    a list of per-group affine points ((x, y) ints or None). Synchronizes.
+
+    fused: False = per-stage chain, True/"all" = one-launch program,
+    "fuse3" = triple-level partial fusion (the production default)."""
     from .msm_jax import combine_window_totals_grouped
 
     plan = host_plan(scalars_np, sizes)
-    dispatch = dispatch_planned_fused if fused else dispatch_planned
+    dispatch = {
+        False: dispatch_planned,
+        True: dispatch_planned_fused,
+        "all": dispatch_planned_fused,
+        "fuse3": dispatch_planned_fuse3,
+    }[fused]
     arr = dispatch(x_np, y_np, plan)
     return combine_window_totals_grouped(arr, len(sizes))

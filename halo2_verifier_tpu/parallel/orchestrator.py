@@ -315,15 +315,28 @@ class BatchVerifier:
             self.point_adds_dispatched += plan["adds"] + (
                 len(sizes) * msm_jax.NUM_WINDOWS * (127 * 8 + 14)
             )
-            # H2V_FOREST_FUSED=1: the whole forest as ONE traced program
-            # (one launch). Measured SLOWER on v5e (dev ~215 ms vs
-            # ~135 ms per bench batch, benchmarks/prof_forest_path.py):
-            # launch count is not the bottleneck — the per-stage chain
-            # overlaps XLA programs better. Kept as an experiment switch.
+            # Dispatch granularity (benchmarks/RESULTS.md r05): on an
+            # accelerator the default is triple-level partial fusion
+            # (~5-6 launches and compiled programs per batch instead of
+            # ~25 — the tunnel's 2.5-8 ms/launch floor and the
+            # ~20-30 s/program Mosaic compiles both scale with the
+            # count). XLA-CPU (tests) keeps the per-stage chain: its
+            # fused programs compile for MINUTES on 2 vCPUs and the
+            # small per-stage programs hit the persistent compile cache
+            # across tests. H2V_FOREST_FUSED=1 forces the all-in-one
+            # program (measured SLOWER steady-state on v5e: no
+            # cross-program overlap); H2V_FOREST_FLAT=1 forces the
+            # per-stage chain; H2V_FOREST_FUSE3=1 forces fuse3 on CPU.
+            import jax
+
+            fuse3 = (os.environ.get("H2V_FOREST_FUSE3") == "1"
+                     or jax.default_backend() != "cpu")
             if os.environ.get("H2V_FOREST_FUSED") == "1":
                 arr = msm_forest.dispatch_planned_fused(x_np, y_np, plan)
-            else:
+            elif os.environ.get("H2V_FOREST_FLAT") == "1" or not fuse3:
                 arr = msm_forest.dispatch_planned(x_np, y_np, plan)
+            else:
+                arr = msm_forest.dispatch_planned_fuse3(x_np, y_np, plan)
             return ("grouped", self._prefetch_d2h(arr))
         if self.mesh is not None and forest:
             D = self.mesh.devices.size
