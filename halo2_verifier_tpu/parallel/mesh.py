@@ -397,6 +397,20 @@ def _forest_stages(mesh: Mesh, D: int):
         f = tuple(c[:, idx0[0]] for c in src)
         return jnp.stack(f)[None]
 
+    def convert_gather_ag(xs, ys, idx0):
+        # column-sharded point table: the host uploads 1/D of the table
+        # to each chip and ONE tiled ICI all_gather rebuilds the full
+        # copy on-chip — host->device bytes (the 16-chip bottleneck in
+        # the r04 wire model) scale 1/D while the (D-1)/D remainder
+        # rides ICI, which is an order of magnitude faster than the
+        # host link. Math past this point is identical to the
+        # replicated layout.
+        xs_full = jax.lax.all_gather(xs, "points", axis=1, tiled=True)
+        ys_full = jax.lax.all_gather(ys, "points", axis=1, tiled=True)
+        src = _forest_convert(xs_full, ys_full, lf, lc, FQ)
+        f = tuple(c[:, idx0[0]] for c in src)
+        return jnp.stack(f)[None]
+
     def level_add(f, iL, iR):
         fc = tuple(f[0, c] for c in range(3))
         a = tuple(c[:, iL[0]] for c in fc)
@@ -444,6 +458,11 @@ def _forest_stages(mesh: Mesh, D: int):
         "convert_gather_rep": jax.jit(jax.shard_map(
             convert_gather_rep, mesh=mesh,
             in_specs=(P(), P(), spec), out_specs=spec,
+        )),
+        "convert_gather_ag": jax.jit(jax.shard_map(
+            convert_gather_ag, mesh=mesh,
+            in_specs=(P(None, "points"), P(None, "points"), spec),
+            out_specs=spec,
         )),
         "level_add": sm(level_add, 3),
         "part_gather": sm(part_gather, 2),
@@ -579,31 +598,58 @@ def sharded_forest_by_windows(mesh: Mesh, x_np, y_np, s_np, sizes,
     plans = _pad_plans_uniform(plans)
     tw_local = plans[0]["tw"]
 
+    import os as _os
+
     xs = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
     ys = np.zeros((NLIMBS, n_pad), dtype=np.uint32)
     xs[:, :x_np.shape[0]] = x_np.T
     ys[:, :y_np.shape[0]] = y_np.T
 
+    # upload layout: default = column-sharded table + one on-chip ICI
+    # all_gather (per-chip host->device bytes scale 1/D — the projected
+    # 16-chip bottleneck was the replicated upload, VERDICT r04 #6);
+    # H2V_MESH_UPLOAD=replicate reverts to replicating the full table
+    # from the host (A/B + odd meshes where D doesn't divide n_pad)
+    shard_upload = (_os.environ.get("H2V_MESH_UPLOAD") != "replicate"
+                    and n_pad % D == 0)
+
     if stats is not None:
         lv = plans[0]["levels"]
         fin = plans[0]["finished"]
+        idx_bytes_per_chip = 4 * (
+            plans[0]["point_idx0"].shape[0]
+            + 2 * sum(l[0].shape[0] for l in lv)
+            + 2 * sum(p[1].shape[0] for p in fin)
+        )
+        table_bytes = int(xs.nbytes + ys.nbytes)
         stats.update(
             plan_seconds=round(_time.time() - _t_plan0, 6),
             upload_bytes=int(
-                xs.nbytes + ys.nbytes  # replicated point table
-                + D * 4 * (plans[0]["point_idx0"].shape[0]
-                           + 2 * sum(l[0].shape[0] for l in lv)
-                           + 2 * sum(p[1].shape[0] for p in fin))
+                (table_bytes if shard_upload else D * table_bytes)
+                + D * idx_bytes_per_chip
             ),
-            collective_bytes_per_chip=0,  # no cross-chip exchange at all
+            upload_bytes_per_chip=int(
+                (table_bytes // D if shard_upload else table_bytes)
+                + idx_bytes_per_chip
+            ),
+            # sharded upload: each chip receives the other (D-1)/D of
+            # the table over ICI; replicated upload crosses no chips
+            collective_bytes_per_chip=int(
+                table_bytes * (D - 1) // D if shard_upload else 0
+            ),
             fetch_bytes_per_chip=int(3 * NLIMBS * tw_local * 4),
         )
 
     st = _forest_stages(mesh, D)
     sh = lambda a: to_global(mesh, a, P("points"))  # noqa: E731
-    f = st["convert_gather_rep"](
-        to_global(mesh, xs, P()), to_global(mesh, ys, P()),
-        sh(np.stack([p["point_idx0"] for p in plans])))
+    idx0 = sh(np.stack([p["point_idx0"] for p in plans]))
+    if shard_upload:
+        f = st["convert_gather_ag"](
+            to_global(mesh, xs, P(None, "points")),
+            to_global(mesh, ys, P(None, "points")), idx0)
+    else:
+        f = st["convert_gather_rep"](
+            to_global(mesh, xs, P()), to_global(mesh, ys, P()), idx0)
     frontiers = [f]
     for li in range(len(plans[0]["levels"])):
         iL = np.stack([p["levels"][li][0] for p in plans])
