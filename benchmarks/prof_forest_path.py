@@ -48,7 +48,9 @@ def main():
         plan = msm_forest.host_plan(ss, sizes)
         t_plan = time.time() - t0
         t0 = time.time()
-        if fused:
+        if fused == "fuse3":
+            arr = msm_forest.dispatch_planned_fuse3(xs, ys, plan)
+        elif fused:
             arr = msm_forest.dispatch_planned_fused(xs, ys, plan)
         else:
             arr = msm_forest.dispatch_planned(xs, ys, plan)
@@ -74,16 +76,22 @@ def main():
               f"adds={plan['adds']} tw={plan['tw']})")
         return out
 
-    one_round("warmup0")
-    one_round("warmup1")
-    base = [one_round(f"round{i}", seed=100 + i) for i in range(reps)]
-    one_round("fused-warmup0", fused=True)
-    one_round("fused-warmup1", fused=True)
-    fus = [one_round(f"fused-round{i}", fused=True, seed=100 + i)
-           for i in range(reps)]
-    for b, f in zip(base, fus):
-        assert b == f, "fused path result mismatch"
-    print("fused results match per-stage path")
+    modes = os.environ.get("H2V_PROF_MODES", "flat,fuse3").split(",")
+    outs = {}
+    for mode in modes:
+        fused = {"flat": False, "fused": True, "fuse3": "fuse3"}[mode]
+        one_round(f"{mode}-warmup0", fused=fused)
+        one_round(f"{mode}-warmup1", fused=fused)
+        outs[mode] = [
+            one_round(f"{mode}-round{i}", fused=fused, seed=100 + i)
+            for i in range(reps)
+        ]
+    ref = outs[modes[0]]
+    for mode in modes[1:]:
+        for b, f in zip(ref, outs[mode]):
+            assert b == f, f"{mode} path result mismatch"
+    if len(modes) > 1:
+        print(f"results match across modes: {modes}")
 
 
 if __name__ == "__main__":

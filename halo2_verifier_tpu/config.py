@@ -13,6 +13,7 @@ class VerifierConfig:
     multiopen: str = "shplonk"        # "shplonk" (BDFG20) | "gwc" (GWC19)
     hash: str = "blake2b"             # "blake2b" | "keccak256"
     strategy: str = "accumulator"     # "single" | "accumulator"
+    pairing: str = "host"             # "host" (C++) | "device" (pairing_jax)
     serde_format: str = "processed"   # "processed"|"raw_bytes"|"raw_bytes_unchecked"
     mesh_shape: tuple = ()            # () = single chip; (D,) = D-way MSM TP
     batch_size: int = 512             # proofs per stream batch
@@ -28,4 +29,4 @@ class VerifierConfig:
             mesh = make_mesh(self.mesh_shape[0])
         return BatchVerifier(params, vk, multiopen=self.multiopen,
                              hash_name=self.hash, mesh=mesh,
-                             strategy=self.strategy)
+                             strategy=self.strategy, pairing=self.pairing)

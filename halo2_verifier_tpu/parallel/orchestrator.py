@@ -62,10 +62,19 @@ class BatchVerifier:
     optional mesh sharding."""
 
     def __init__(self, params, vk, multiopen="shplonk", hash_name="blake2b",
-                 mesh=None, rng=None, strategy="accumulator"):
+                 mesh=None, rng=None, strategy="accumulator",
+                 pairing="host"):
         if strategy not in ("accumulator", "single"):
             raise ValueError(f"unknown strategy {strategy!r} "
                              "(expected 'accumulator' or 'single')")
+        from ..protocol.kzg import pairing_backend
+
+        # "host" = native C++ Miller loop (one ~15 ms pairing per batch —
+        # the accumulator default); "device" = ops/pairing_jax lane-packed
+        # tower, which keeps SingleStrategy verification fully
+        # on-accelerator and batches per-proof pairings across lanes
+        self.pairing = pairing
+        self._pairing_fn = pairing_backend(pairing)
         self.params = params
         self.vk = vk
         self.multiopen = multiopen
@@ -596,7 +605,7 @@ class BatchVerifier:
 
     def _pairing_ok(self, left, right) -> bool:
         with self.timings.stage("host_pairing"):
-            return hp.pairing_check([
+            return self._pairing_fn([
                 (left, self.params.s_g2),
                 (right, hc.g2_neg(self.params.g2)),
             ])
@@ -796,6 +805,7 @@ class BatchVerifier:
             if not verify_proof_single(self.params, vk, proof,
                                        [instances],
                                        multiopen=self.multiopen,
-                                       hash_name=self.hash_name):
+                                       hash_name=self.hash_name,
+                                       pairing=self.pairing):
                 failed.append(i)
         return BatchResult(not failed, len(proofs_and_instances), failed)

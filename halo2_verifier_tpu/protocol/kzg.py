@@ -121,25 +121,44 @@ class DualMSM:
         self.left.add_msm(other.left)
         self.right.add_msm(other.right)
 
-    def check(self, msm_eval=None) -> bool:
+    def check(self, msm_eval=None, pairing=None) -> bool:
         if msm_eval is None:
             msm_eval = lambda m: m.eval()
         left = msm_eval(self.left)
         right = msm_eval(self.right)
-        return hp.pairing_check(
+        return (pairing or hp.pairing_check)(
             [(left, self.params.s_g2), (right, hc.g2_neg(self.params.g2))]
         )
+
+
+def pairing_backend(name: str = "host"):
+    """Final-pairing engine: "host" = native C++ Miller loop
+    (ops/hostpairing.py, the latency-shaped default — one pairing costs
+    ~15 ms on CPU); "device" = the lane-packed JAX tower
+    (ops/pairing_jax.pairing_check_device) — amortizes when many
+    SingleStrategy proofs batch their pairing lanes, and keeps the whole
+    verification on-accelerator. Both are bit-exact vs each other
+    (tests/test_pairing_jax.py)."""
+    if name == "device":
+        from ..ops import pairing_jax
+
+        return pairing_jax.pairing_check_device
+    if name in ("host", None):
+        return hp.pairing_check
+    raise ValueError(f"unknown pairing backend {name!r} "
+                     "(expected 'host' or 'device')")
 
 
 class SingleStrategy:
     """Verify one proof, pairing immediately (kzg/strategy.rs:83-181)."""
 
-    def __init__(self, params: ParamsKZG):
+    def __init__(self, params: ParamsKZG, pairing: str = "host"):
         self.params = params
+        self._pairing = pairing_backend(pairing)
 
     def process(self, f) -> None:
         guard = GuardKZG(f(DualMSM(self.params)))
-        if not guard.verify():
+        if not guard.verify(pairing=self._pairing):
             raise ConstraintSystemFailure(
                 "constraint system failure (kzg/strategy.rs:164-177)"
             )
@@ -199,8 +218,8 @@ class GuardKZG:
     def use_challenges(self) -> DualMSM:
         return self.msm_accumulator
 
-    def verify(self, msm_eval=None) -> bool:
-        return self.msm_accumulator.check(msm_eval)
+    def verify(self, msm_eval=None, pairing=None) -> bool:
+        return self.msm_accumulator.check(msm_eval, pairing=pairing)
 
 
 class VerifyFailure(Exception):

@@ -231,11 +231,13 @@ def verify_proof(params, vk, strategy, instances, transcript,
 
 
 def verify_proof_single(params, vk, proof: bytes, instances,
-                        multiopen="shplonk", hash_name="blake2b") -> bool:
+                        multiopen="shplonk", hash_name="blake2b",
+                        pairing="host") -> bool:
     """Convenience wrapper: SingleStrategy over raw proof bytes; returns a
-    bool like the reference tests' `verify_proof(..).is_ok()`."""
+    bool like the reference tests' `verify_proof(..).is_ok()`.
+    pairing: "host" (C++ Miller loop) | "device" (ops/pairing_jax)."""
     transcript = TRANSCRIPT_READERS[hash_name](proof)
-    strategy = SingleStrategy(params)
+    strategy = SingleStrategy(params, pairing=pairing)
     try:
         verify_proof(params, vk, strategy, instances, transcript,
                      multiopen=multiopen)

@@ -85,6 +85,35 @@ def fingerprint() -> str:
     return _fingerprint_cache
 
 
+_salt_cache = None
+
+
+def _salt() -> str:
+    """Content hash of the ops package sources: any kernel edit
+    invalidates every pack entry (keys change), forcing a fresh compile
+    instead of silently serving an executable built from old code.
+    H2V_AOT_SALT overrides (e.g. to pin a pack while editing comments)."""
+    global _salt_cache
+    env = os.environ.get("H2V_AOT_SALT")
+    if env:
+        return env
+    if _salt_cache is None:
+        h = hashlib.sha256()
+        ops_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ops")
+        try:
+            for name in sorted(os.listdir(ops_dir)):
+                if name.endswith(".py"):
+                    with open(os.path.join(ops_dir, name), "rb") as fh:
+                        h.update(name.encode())
+                        h.update(fh.read())
+        except OSError:
+            pass
+        _salt_cache = h.hexdigest()[:12]
+    return _salt_cache
+
+
 def _leaf_sig(x):
     shape = getattr(x, "shape", None)
     dtype = getattr(x, "dtype", None)
@@ -97,7 +126,7 @@ def _key(name: str, args, kwargs) -> str:
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
-    sig = repr((name, treedef, [_leaf_sig(x) for x in leaves]))
+    sig = repr((name, _salt(), treedef, [_leaf_sig(x) for x in leaves]))
     return hashlib.sha256(sig.encode()).hexdigest()[:20]
 
 

@@ -76,3 +76,39 @@ def test_batch_detects_bad_proof_and_localizes(setup):
         for proof, instance in proofs
     ]
     assert verdicts == [True, False, True]
+
+
+@pytest.mark.heavy_compile
+def test_device_pairing_in_production(setup, monkeypatch):
+    """VerifierConfig(pairing="device") routes the final pairing through
+    the lane-packed JAX tower (ops/pairing_jax) in BOTH production
+    strategies: SingleStrategy per-proof checks and the accumulator's
+    one-per-batch check. Verdicts must match the host pairing exactly —
+    accept the valid proofs, reject a tampered one (VERDICT r04 item 7:
+    the device pairing is a configured capability, not a spike)."""
+    from halo2_verifier_tpu.config import VerifierConfig
+
+    # exact native MSM: the subject under test is the pairing backend —
+    # compiling the device MSM kernels here would re-cover other tests'
+    # ground at minutes of XLA-CPU compile
+    monkeypatch.setenv("H2V_MSM", "host")
+    srs, pk, params, make_assignment = setup
+    proofs = _make_proofs(pk, make_assignment, 3)
+
+    cfg = VerifierConfig(strategy="single", pairing="device")
+    bv = cfg.make_verifier(params, pk.vk)
+    r = bv.verify(proofs)
+    assert r.ok and not r.failed_indices
+
+    bad = bytearray(proofs[1][0])
+    bad[100] ^= 0xFF
+    tampered = [proofs[0], (bytes(bad), proofs[1][1]), proofs[2]]
+    r = bv.verify(tampered)
+    assert not r.ok and r.failed_indices == [1]
+
+    # accumulator strategy: one device pairing for the whole batch
+    cfg2 = VerifierConfig(pairing="device")
+    bv2 = cfg2.make_verifier(params, pk.vk)
+    assert bv2.verify(proofs).ok
+    r = bv2.verify(tampered)
+    assert not r.ok and r.failed_indices == [1]
