@@ -272,6 +272,107 @@ def _probe_device() -> str:
     return ""
 
 
+def run_extras(platform):
+    """H2V_BENCH_EXTRA=1: two additional measured configurations
+    (VERDICT r04 item 8) — each emits its own JSON line BEFORE the main
+    metric's final line, so the driver's tail-line contract holds.
+
+    1. keccak256 x gwc on the k=9 mac circuit — the EVM-shaped config
+       (the reason Keccak256Read exists, transcript/mod.rs:239-254;
+       multiopen/gwc.rs:54-135).
+    2. heterogeneous-vk stream — k=9 mac + k=9 vector_mul proofs mixed
+       in one batch (BASELINE config 4), sharing the device MSMs and the
+       single pairing across circuits.
+
+    Both assert the VM raw fast path actually served the stream
+    (host_assemble stage present): a regression in _stream_groups'
+    eligibility would otherwise silently fall back to the slow path and
+    show up only as a perf cliff."""
+    import numpy as np  # noqa: F401
+
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+    from halo2_verifier_tpu.prover.circuits import (
+        mac_range_spec,
+        vector_mul_spec,
+    )
+    from halo2_verifier_tpu.prover.fixtures import load_or_build_pack
+    from halo2_verifier_tpu.prover.keygen import keygen
+    from halo2_verifier_tpu.prover.srs import load_srs
+
+    bsz = int(os.environ.get("H2V_BENCH_EXTRA_BATCH", "256"))
+    nb = int(os.environ.get("H2V_BENCH_EXTRA_BATCHES", "7"))
+
+    srs = load_srs(9)
+    params = srs.verifier_params()
+    mac_spec, mac_mk = mac_range_spec(9, 300, 10)
+    mac_pk = keygen(mac_spec, srs)
+    vm_spec, vm_mk_raw = vector_mul_spec(9, 4)
+    vm_pk = keygen(vm_spec, srs)
+
+    def vm_mk(s):
+        return vm_mk_raw([int(s) + 2] * 4, [int(s) + 5] * 4)
+
+    def measure(name, bv, batch, circuit):
+        def stream():
+            for _ in range(nb):
+                yield batch
+
+        gen = bv.verify_stream(stream(), localize=False)
+        t0 = time.time()
+        first = next(gen)
+        assert first.ok, f"{name}: warmup batch failed"
+        warm_s = time.time() - t0
+        t0 = time.time()
+        n = 0
+        for r in gen:
+            assert r.ok, f"{name}: batch failed"
+            n += len(batch)
+        dt = time.time() - t0
+        assert "host_assemble" in bv.timings.totals, (
+            f"{name}: VM raw fast path NOT used (stream fell back)")
+        print(json.dumps({
+            "metric": name,
+            "value": round(n / dt, 3),
+            "unit": "proofs/s",
+            "vs_baseline": round(n / dt / BASELINE_PER_CHIP, 5),
+            "detail": {
+                "platform": platform, "circuit": circuit,
+                "batch_size": len(batch), "proofs_measured": n,
+                "warmup_seconds": round(warm_s, 3),
+                "steady_seconds": round(dt, 3),
+                "fast_path": "vm_raw",
+            },
+        }), flush=True)
+
+    # 1. keccak x gwc
+    kg_pack = load_or_build_pack(
+        "bench_mac_k9_keccak_gwc_pack", mac_pk, mac_mk, list(range(16)),
+        hash_name="keccak256", multiopen="gwc",
+    )
+    batch = [kg_pack[i % len(kg_pack)] for i in range(bsz)]
+    bv = BatchVerifier(params, mac_pk.vk, multiopen="gwc",
+                       hash_name="keccak256")
+    measure("proofs_per_s_keccak_gwc_mac_k9", bv, batch,
+            "mac_range k=9 keccak256 gwc")
+
+    # 2. heterogeneous-vk stream (mac + vector_mul, same SRS)
+    mac_pack = load_or_build_pack(
+        "bench_mac_k9_pack", mac_pk, mac_mk, list(range(8)))
+    vm_pack = load_or_build_pack(
+        "bench_vm_k9_pack", vm_pk, vm_mk, list(range(8)))
+    items = []
+    for i in range(bsz):
+        if i % 2 == 0:
+            p, inst = mac_pack[(i // 2) % len(mac_pack)]
+            items.append((p, inst, mac_pk.vk))
+        else:
+            p, inst = vm_pack[(i // 2) % len(vm_pack)]
+            items.append((p, inst, vm_pk.vk))
+    bv = BatchVerifier(params, vk=None)
+    measure("proofs_per_s_hetero_vk_stream_k9", bv, items,
+            "mac_range k=9 + vector_mul k=9 mixed per batch (2 vks)")
+
+
 def main():
     detail = {"deadline_seconds": DEADLINE}
     emit(0.0, detail, partial="start: probing accelerator")
@@ -408,6 +509,10 @@ def main():
         emit(proofs_per_s, detail,
              partial=None if done else
              f"measured {n_measured // len(batch)} steady batches")
+    if os.environ.get("H2V_BENCH_EXTRA") == "1":
+        run_extras(platform)
+        # the driver records the LAST line: re-emit the headline metric
+        emit(proofs_per_s, detail)
     return 0
 
 

@@ -324,28 +324,13 @@ class BatchVerifier:
             self.point_adds_dispatched += plan["adds"] + (
                 len(sizes) * msm_jax.NUM_WINDOWS * (127 * 8 + 14)
             )
-            # Dispatch granularity (benchmarks/RESULTS.md r05): on an
-            # accelerator the default is triple-level partial fusion
-            # (~5-6 launches and compiled programs per batch instead of
-            # ~25 — the tunnel's 2.5-8 ms/launch floor and the
-            # ~20-30 s/program Mosaic compiles both scale with the
-            # count). XLA-CPU (tests) keeps the per-stage chain: its
-            # fused programs compile for MINUTES on 2 vCPUs and the
-            # small per-stage programs hit the persistent compile cache
-            # across tests. H2V_FOREST_FUSED=1 forces the all-in-one
-            # program (measured SLOWER steady-state on v5e: no
-            # cross-program overlap); H2V_FOREST_FLAT=1 forces the
-            # per-stage chain; H2V_FOREST_FUSE3=1 forces fuse3 on CPU.
-            import jax
-
-            fuse3 = (os.environ.get("H2V_FOREST_FUSE3") == "1"
-                     or jax.default_backend() != "cpu")
-            if os.environ.get("H2V_FOREST_FUSED") == "1":
+            mode = self._forest_mode()
+            if mode == "fused":
                 arr = msm_forest.dispatch_planned_fused(x_np, y_np, plan)
-            elif os.environ.get("H2V_FOREST_FLAT") == "1" or not fuse3:
-                arr = msm_forest.dispatch_planned(x_np, y_np, plan)
-            else:
+            elif mode == "fuse3":
                 arr = msm_forest.dispatch_planned_fuse3(x_np, y_np, plan)
+            else:
+                arr = msm_forest.dispatch_planned(x_np, y_np, plan)
             return ("grouped", self._prefetch_d2h(arr))
         if self.mesh is not None and forest:
             D = self.mesh.devices.size
@@ -412,6 +397,46 @@ class BatchVerifier:
             x_np, y_np, idx_sorted, keys_sorted, groups=2, levels=levels
         )
         return ("grouped", self._prefetch_d2h(arr))
+
+    def _forest_mode(self) -> str:
+        """Forest dispatch granularity (benchmarks/RESULTS.md r05 A/B):
+
+        - "flat"  — one program per stage (~25 launches): best
+          steady-state (XLA overlaps the program chain; ~224 ms
+          device/batch at bench shapes) but ~430 s of cold compiles.
+        - "fuse3" — 3 levels + their finished-part gathers per program
+          (6 launches): 2.2x faster cold compile, ~30% slower steady
+          (~297 ms).
+        - "fused" — everything in one program: slowest steady (no
+          overlap), kept as an experiment switch.
+
+        Policy: env overrides (H2V_FOREST_FLAT/FUSE3/FUSED=1) win; CPU
+        (tests) uses flat (fused programs compile for minutes on 2
+        vCPUs and the small per-stage programs hit the persistent
+        compile cache); an accelerator uses fuse3. Flat's steady edge
+        only exists for TRACED programs: served from the AOT pack its
+        ~25 Compiled.call python dispatches per batch measured 2.4-2.6k
+        proofs/s vs fuse3's 4.2k (jit's C++ cache-hit dispatch is what
+        made the 25-launch chain cheap), so with the pack fuse3 wins
+        BOTH warmup (8.6 s) and steady state."""
+        mode = getattr(self, "_forest_mode_cache", None)
+        if mode is None:
+            import os
+
+            import jax
+
+            if os.environ.get("H2V_FOREST_FUSED") == "1":
+                mode = "fused"
+            elif os.environ.get("H2V_FOREST_FLAT") == "1":
+                mode = "flat"
+            elif os.environ.get("H2V_FOREST_FUSE3") == "1":
+                mode = "fuse3"
+            elif jax.default_backend() == "cpu":
+                mode = "flat"
+            else:
+                mode = "fuse3"
+            self._forest_mode_cache = mode
+        return mode
 
     @staticmethod
     def _prefetch_d2h(arr):

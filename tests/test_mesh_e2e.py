@@ -139,3 +139,23 @@ def test_mesh_verify_stream(vm_proofs_k8, monkeypatch):
                                     localize=False))
     assert [r.ok for r in results] == [True, True]
     assert seen == ["sharded_windows"] * 2
+
+
+@pytest.mark.heavy_compile
+def test_mesh_indivisible_fallthrough_d3(vm_proofs_k8, monkeypatch):
+    """A 3-device mesh divides neither NUM_WINDOWS (32, window sharding)
+    nor len(sizes)*NUM_WINDOWS (64, point-sharded forest): production
+    auto-select must fall through to the presorted-scan sharded_grouped
+    kind WITHOUT any env forcing and still verify (VERDICT r04 weak #5 —
+    this fall-through previously had no end-to-end pin)."""
+    from halo2_verifier_tpu.parallel.mesh import make_mesh
+    from halo2_verifier_tpu.parallel.orchestrator import BatchVerifier
+
+    for var in ("H2V_MESH_SHARD", "H2V_MSM"):
+        monkeypatch.delenv(var, raising=False)
+    params, vk, proofs = vm_proofs_k8
+    bv = BatchVerifier(params, vk, mesh=make_mesh(3), rng=_lcg_rng())
+    seen = _spy_dispatch(bv)
+    res = bv.verify(proofs, localize=False)
+    assert res.ok and res.num_proofs == len(proofs)
+    assert seen == ["sharded_grouped"]
