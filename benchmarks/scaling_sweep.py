@@ -134,14 +134,17 @@ def main():
 
 MEASURED = {
     # single-chip steady-state, k=14 BATCH=1024 fuse3 path, r05 runs
-    # (benchmarks/RESULTS.md): device execute per batch and per-launch
-    # overhead measured by prof_forest_path on the tunneled chip
-    "t_exec1_ms": 230.0,   # device execute, whole 2-side MSM batch, D=1
+    # (benchmarks/RESULTS.md): device execute per batch measured by
+    # prof_forest_path (fuse3 median 297 ms over 5 rounds at 16,640
+    # entries), replay/pairing from the warm driver-default bench's
+    # stage report (host_replay 0.51 s / 6 batches, host_pairing
+    # 0.066 s / 7)
+    "t_exec1_ms": 297.0,   # device execute, whole 2-side MSM batch, D=1
     "launches": 6,         # fuse3: head + 3 triples + tail + decomp
     "launch_floor_tunnel_ms": 4.0,   # measured 2.5-8 ms RPC floor (r04)
     "launch_floor_local_ms": 0.1,    # locally-attached TPU runtime
-    "t_replay_ms": 100.0,  # host VM replay per 1024-proof batch
-    "t_pair_ms": 15.0,     # one pairing per batch (host C++)
+    "t_replay_ms": 85.0,   # host VM replay per 1024-proof batch
+    "t_pair_ms": 10.0,     # one pairing per batch (host C++)
     "batch": 1024,
     # conservative public bandwidths: PCIe host link, v5e ICI per chip
     "bw_host_gbps": 8.0,

@@ -542,6 +542,77 @@ def dispatch_planned(x_np, y_np, plan):
                          tw=plan["tw"])
 
 
+def pin_plan_widths(plan, pinned=None):
+    """Pad a plan's frontier widths up to a PINNED per-workload signature
+    so every batch of one workload shares one compiled shape set.
+
+    _canonicalize_plan stabilizes the level COUNT and part layout, but
+    each level's width still quantizes per batch — random isolation
+    weights shift the nonzero-digit counts by ~sqrt(entries), and a width
+    sitting near a quantization boundary flips shape class batch to
+    batch, retracing/recompiling stage programs MID-STREAM (~13 s/batch
+    observed on the k=9 keccak x gwc bench extra before this fix).
+
+    Padding semantics: every frontier's trailing slot is an identity by
+    induction (host_plan always leaves >= 1 identity pad slot), so extra
+    gather rows (id, id) append identity adds that the complete RCB15
+    add absorbs. Finished-part positions keep referencing their original
+    (real) slots.
+
+    Returns (plan, widths): pass `widths` back in for the next batch; a
+    batch that EXCEEDS the pinned signature re-pins (one recompile, then
+    stable again)."""
+    import numpy as np
+
+    widths = [plan["point_idx0"].shape[0]] + [
+        lvl[0].shape[0] for lvl in plan["levels"]
+    ]
+    fin_widths = [pos.shape[0] for _lvl, pos, _k in plan["finished"]]
+    sig = (tuple(widths), tuple(fin_widths))
+    if (pinned is None or len(pinned[0]) != len(widths)
+            or len(pinned[1]) != len(fin_widths)
+            or any(w > p for w, p in zip(widths, pinned[0]))
+            or any(w > p for w, p in zip(fin_widths, pinned[1]))):
+        # natural widths grew past the pin (or first batch): re-pin
+        if pinned is not None and len(pinned[0]) == len(widths) \
+                and len(pinned[1]) == len(fin_widths):
+            pinned = (
+                tuple(max(w, p) for w, p in zip(widths, pinned[0])),
+                tuple(max(w, p) for w, p in zip(fin_widths, pinned[1])),
+            )
+        else:
+            pinned = sig
+    pad0 = pinned[0][0] - widths[0]
+    if pad0:
+        plan["point_idx0"] = np.concatenate([
+            plan["point_idx0"],
+            np.full(pad0, plan["n_pad"] - 1, dtype=np.int32),
+        ])
+    levels = []
+    pad_adds = 0
+    for i, (iL, iR) in enumerate(plan["levels"]):
+        pad = pinned[0][i + 1] - iL.shape[0]
+        if pad:
+            id_slot = pinned[0][i] - 1  # last slot of the padded frontier
+            iL = np.concatenate([iL, np.full(pad, id_slot, np.int32)])
+            iR = np.concatenate([iR, np.full(pad, id_slot, np.int32)])
+            pad_adds += pad
+        levels.append((iL, iR))
+    plan["levels"] = levels
+    dump = plan["tw"] * NUM_BUCKETS
+    parts = []
+    for pi, (lvl, pos, keys) in enumerate(plan["finished"]):
+        pad = pinned[1][pi] - pos.shape[0]
+        if pad:
+            id_slot = pinned[0][lvl] - 1  # identity slot of frontier lvl
+            pos = np.concatenate([pos, np.full(pad, id_slot, np.int32)])
+            keys = np.concatenate([keys, np.full(pad, dump, np.int32)])
+        parts.append((lvl, pos, keys))
+    plan["finished"] = parts
+    plan["adds"] = plan["adds"] + pad_adds
+    return plan, pinned
+
+
 # --------------------------------------------------------- partial fusion
 #
 # The r04 driver bench was launch-bound (~25 dispatches/batch over a

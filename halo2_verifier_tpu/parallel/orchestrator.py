@@ -317,6 +317,23 @@ class BatchVerifier:
             from ..ops import msm_forest
 
             plan = msm_forest.host_plan(s_np, sizes)
+            # pin the level/part-width signature per workload: random
+            # weights drift digit counts across quantization boundaries
+            # batch to batch, and an unpinned width flip retraces stage
+            # programs MID-STREAM (msm_forest.pin_plan_widths; measured
+            # ~13 s/batch on the keccak bench extra before pinning).
+            # Pins persist next to the AOT pack so warm starts begin at
+            # the recorded shapes (utils/aotcache.load_plan_pins).
+            from ..utils import aotcache
+
+            if not hasattr(self, "_plan_pins"):
+                self._plan_pins = aotcache.load_plan_pins()
+            pin_key = repr(tuple(sizes))
+            old_pin = self._plan_pins.get(pin_key)
+            plan, new_pin = msm_forest.pin_plan_widths(plan, old_pin)
+            if new_pin != old_pin:
+                self._plan_pins[pin_key] = new_pin
+                aotcache.save_plan_pins(self._plan_pins)
             # device point-add count for speed-of-light accounting: forest
             # levels (plan) + per-window bit-plane bucket reduction
             # (7-level tree over 128 buckets x 8 bit planes + 14-step

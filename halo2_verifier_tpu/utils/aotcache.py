@@ -252,6 +252,54 @@ def aot_jit(fn=None, *, static_argnames=()):
     return AotFn(fn, static_argnames=static_argnames)
 
 
+def _pins_path() -> str:
+    return os.path.join(pack_root(), fingerprint(), "planpins.json")
+
+
+def load_plan_pins() -> dict:
+    """Persisted forest-plan width pins (msm_forest.pin_plan_widths),
+    keyed by repr(tuple(sizes)) + the ops salt: replay starts streams at
+    the widths the record run stabilized on, so batch 0 already matches
+    the recorded executables and no mid-stream re-pin compile occurs."""
+    if not _enabled():
+        return {}
+    try:
+        import json
+
+        with open(_pins_path()) as fh:
+            raw = json.load(fh)
+        if raw.get("salt") != _salt():
+            return {}
+        return {
+            k: (tuple(v[0]), tuple(v[1])) for k, v in raw["pins"].items()
+        }
+    except Exception:
+        return {}
+
+
+def save_plan_pins(pins: dict) -> None:
+    """Record mode: persist the stabilized width pins next to the pack."""
+    if not _record():
+        return
+    try:
+        import json
+
+        path = _pins_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "salt": _salt(),
+                "pins": {k: [list(v[0]), list(v[1])]
+                         for k, v in pins.items()},
+            }, fh)
+        os.replace(tmp, path)
+    except Exception as e:
+        import sys
+
+        print(f"aotcache: plan-pin save failed ({e!r})", file=sys.stderr)
+
+
 def pack_inventory() -> dict:
     """Committed pack entries for the current fingerprint (diagnostics)."""
     d = os.path.join(pack_root(), fingerprint())

@@ -136,3 +136,39 @@ def test_native_plan_parity():
             assert alv == blv
             np.testing.assert_array_equal(ap, bp)
             np.testing.assert_array_equal(ak, bk)
+
+
+def test_pinned_plan_widths_match_oracle(pts20):
+    """pin_plan_widths pads level/part widths up to a prior batch's
+    signature (mid-stream retrace fix, r05): pinned plans must stay
+    bit-correct vs the host oracle across weight distributions including
+    the degenerate all-small-scalar case, for both dispatch modes, and
+    the pinned signature must be stable."""
+    from halo2_verifier_tpu.ops import msm_jax
+
+    pts = pts20
+    xs = ints_to_limbs([p[0] for p in pts])
+    ys = ints_to_limbs([p[1] for p in pts])
+    pin = None
+    sigs = set()
+    for trial in range(3):
+        rng = np.random.RandomState(trial)
+        sc = ([int.from_bytes(rng.bytes(32), "little") % R
+               for _ in range(20)] if trial < 2
+              else [1 + i for i in range(20)])
+        s_np = ints_to_limbs(sc)
+        plan, pin = msm_forest.pin_plan_widths(
+            msm_forest.host_plan(s_np, [8, 12]), pin)
+        sigs.add((tuple(l[0].shape[0] for l in plan["levels"]),
+                  tuple(pos.shape[0]
+                        for _l, pos, _k in plan["finished"])))
+        got = msm_jax.combine_window_totals_grouped(
+            msm_forest.dispatch_planned(xs, ys, plan), 2)
+        want = [hc.g1_msm(sc[:8], pts[:8]), hc.g1_msm(sc[8:], pts[8:])]
+        assert got == want
+        plan2, _ = msm_forest.pin_plan_widths(
+            msm_forest.host_plan(s_np, [8, 12]), pin)
+        got3 = msm_jax.combine_window_totals_grouped(
+            msm_forest.dispatch_planned_fuse3(xs, ys, plan2), 2)
+        assert got3 == want
+    assert len(sigs) == 1, f"pinned signature wobbled: {sigs}"
