@@ -663,6 +663,121 @@ def _stage_tail(f_last, pos_last, parts, scatter_idx, *, tw, bucket_scan):
     return _bucket_phase(fin, scatter_idx, tw=tw, scan=bucket_scan)
 
 
+# Packed-operand upload: the fuse3 chain uploads ~30 SEPARATE host
+# arrays per batch (xs, ys, idx0, per-level iL/iR, per-part pos,
+# scatter) and the tunnel's per-transfer overhead is ~2.5-3 ms
+# regardless of size while one large transfer sustains ~1.6 GB/s
+# (measured 2026-08-21: 8 MB as 1 transfer = 5 ms, as 16 transfers =
+# 46 ms, as 80 = 51 ms). So all operands concatenate into ONE uint32
+# buffer, uploaded once, and each stage slices at STATIC offsets —
+# static because pin_plan_widths pins every width per workload, so the
+# offset tuples are stable across batches and AOT keys don't churn.
+
+
+@aot_jit(static_argnames=("n_pad", "w0"))
+def _stage_head_p(buf, *, n_pad, w0):
+    """convert + initial gather, operands sliced from the packed buffer:
+    [xs | ys | idx0 | ...] -> level-0 frontier."""
+    o = NLIMBS * n_pad
+    xs = buf[:o].reshape(NLIMBS, n_pad)
+    ys = buf[o:2 * o].reshape(NLIMBS, n_pad)
+    idx0 = buf[2 * o:2 * o + w0]
+    src = _convert_points.fn(xs, ys)
+    return tuple(c[:, idx0] for c in src)
+
+
+@aot_jit(static_argnames=("offs", "concat_gather"))
+def _stage_levels3_p(f, buf, *, offs, concat_gather=False):
+    """_stage_levels3 with the gather-index triples sliced from the
+    packed buffer. offs: ((oL, oR, w), (oP, wp)) x3, static.
+
+    concat_gather: ONE gather of the [iL | iR] permutation per level and
+    the add reads contiguous halves — levels are adjacent in the packed
+    buffer so the combined index is a single 2w slice (A/B experiment:
+    two gathers vs one double-width gather)."""
+    parts = []
+    for (oL, oR, w), (oP, wp) in offs:
+        pos = buf[oP:oP + wp]
+        parts.append(tuple(c[:, pos] for c in f))
+        if concat_gather:
+            both = buf[oL:oL + 2 * w]
+            g = tuple(c[:, both] for c in f)
+            f = lc.OPS16.add(tuple(c[:, :w] for c in g),
+                             tuple(c[:, w:] for c in g))
+        else:
+            iL = buf[oL:oL + w]
+            iR = buf[oR:oR + w]
+            f = lc.OPS16.add(tuple(c[:, iL] for c in f),
+                             tuple(c[:, iR] for c in f))
+    return f, tuple(parts)
+
+
+@aot_jit(static_argnames=("pos_off", "scat_off", "tw", "bucket_scan"))
+def _stage_tail_p(f_last, parts, buf, *, pos_off, scat_off, tw,
+                  bucket_scan):
+    """_stage_tail with pos_last/scatter sliced from the packed buffer."""
+    oP, wp = pos_off
+    parts = tuple(parts) + (
+        tuple(c[:, buf[oP:oP + wp]] for c in f_last),)
+    fin = tuple(
+        jnp.concatenate([g[c] for g in parts], axis=1) for c in range(3)
+    )
+    oS, ws = scat_off
+    scat = buf[oS:oS + ws].astype(jnp.int32)
+    return _bucket_phase(fin, scat, tw=tw, scan=bucket_scan)
+
+
+def _as_u32(a):
+    return np.ascontiguousarray(a).view(np.uint32)
+
+
+def _dispatch_fuse3_packed(x_np, y_np, plan):
+    """dispatch_planned_fuse3 with the single packed-operand upload.
+    Bit-identical output; requires the canonical plan shape."""
+    import os
+
+    levels = plan["levels"]
+    parts = plan["finished"]
+    L = len(levels)
+    n_pad = plan["n_pad"]
+    xs, ys = _pad_transpose_points(x_np, y_np, n_pad)
+    scat = _plan_scatter_idx(plan)
+    w0 = plan["point_idx0"].shape[0]
+    segs = [xs.ravel(), ys.ravel(), _as_u32(plan["point_idx0"])]
+    off = 2 * NLIMBS * n_pad + w0
+    lvl_off = []
+    for iL, iR in levels:
+        w = iL.shape[0]
+        segs += [_as_u32(iL), _as_u32(iR)]
+        lvl_off.append((off, off + w, w))
+        off += 2 * w
+    part_off = []
+    for _lvl, pos, _keys in parts:
+        wp = pos.shape[0]
+        segs.append(_as_u32(pos))
+        part_off.append((off, wp))
+        off += wp
+    ws = scat.shape[0]
+    segs.append(_as_u32(scat))
+    buf = jnp.asarray(np.concatenate(segs))  # the ONE upload
+    f = _stage_head_p(buf, n_pad=n_pad, w0=w0)
+    out_parts = []
+    for t in range(0, L, 3):
+        offs3 = tuple(
+            (lvl_off[t + j], part_off[t + j]) for j in range(3)
+        )
+        f, outs = _stage_levels3_p(
+            f, buf, offs=offs3,
+            concat_gather=os.environ.get("H2V_LEVEL_GATHER") != "two",
+        )
+        out_parts.extend(outs)
+    return _stage_tail_p(
+        f, tuple(out_parts), buf,
+        pos_off=part_off[L], scat_off=(off, ws),
+        tw=plan["tw"], bucket_scan=_use_bucket_scan(),
+    )
+
+
 def dispatch_planned_fuse3(x_np, y_np, plan):
     """Partial-fusion variant of dispatch_planned: identical math and
     output, ~5-6 launches per batch instead of ~25. Requires the
@@ -676,6 +791,10 @@ def dispatch_planned_fuse3(x_np, y_np, plan):
     ):
         # non-canonical plan (e.g. a hand-built test plan): exact fallback
         return dispatch_planned(x_np, y_np, plan)
+    import os
+
+    if os.environ.get("H2V_FOREST_PACK", "1") != "0":
+        return _dispatch_fuse3_packed(x_np, y_np, plan)
     xs, ys = _pad_transpose_points(x_np, y_np, plan["n_pad"])
     f = _stage_head(jnp.asarray(xs), jnp.asarray(ys),
                     jnp.asarray(plan["point_idx0"]))
