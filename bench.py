@@ -62,9 +62,16 @@ BATCH = int(os.environ.get("H2V_BENCH_BATCH", "1024"))
 #                  fixed costs (launch chain, fetch RTT, pairing)
 #                  amortize ~2x over 256 while 2048 adds only warmup time
 #                  (see benchmarks/RESULTS.md r04 batch sweep)
-NUM_BATCHES = int(os.environ.get("H2V_BENCH_NUM_BATCHES", "9"))
+NUM_BATCHES = int(os.environ.get("H2V_BENCH_NUM_BATCHES", "25"))
 #                ^ first is compile/fill, the rest are measured (fewer if
-#                  the self-deadline would be exceeded)
+#                  the self-deadline would be exceeded). 24 measured
+#                  batches (~25k proofs, ~6-12 s steady) because the
+#                  tunneled chip's per-batch wall swings +-40% minute to
+#                  minute (RESULTS.md r04 noise note): 8-batch windows
+#                  measured anywhere from 2.2k to 4.8k proofs/s for
+#                  identical code, a wider window stabilizes the marginal
+#                  rate. Warmup is AOT-pack-backed (~10 s), so the run
+#                  still fits the 520 s self-deadline many times over.
 
 K = 14
 ROWS = 8192
