@@ -135,11 +135,11 @@ def main():
 MEASURED = {
     # single-chip steady-state, k=14 BATCH=1024 fuse3 path, r05 runs
     # (benchmarks/RESULTS.md): device execute per batch measured by
-    # prof_forest_path (fuse3 median 297 ms over 5 rounds at 16,640
-    # entries), replay/pairing from the warm driver-default bench's
-    # stage report (host_replay 0.51 s / 6 batches, host_pairing
-    # 0.066 s / 7)
-    "t_exec1_ms": 297.0,   # device execute, whole 2-side MSM batch, D=1
+    # prof_forest_path (packed-operand fuse3 median 238 ms over 6 rounds
+    # at 16,640 entries — the single-upload packing cut it from 297),
+    # replay/pairing from the warm driver-default bench's stage report
+    # (host_replay 0.50 s / 6 batches, host_pairing 0.077 s / 7)
+    "t_exec1_ms": 238.0,   # device execute, whole 2-side MSM batch, D=1
     "launches": 6,         # fuse3: head + 3 triples + tail + decomp
     "launch_floor_tunnel_ms": 4.0,   # measured 2.5-8 ms RPC floor (r04)
     "launch_floor_local_ms": 0.1,    # locally-attached TPU runtime
